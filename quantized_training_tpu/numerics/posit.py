@@ -1,0 +1,125 @@
+"""Bit-exact posit(nbits, es) rounding of float tensors.
+
+Implements the same numerics as the reference framework's posit quantizer
+(reference: src/quantized_training/posit.py:6-67): the input's float32 bit
+pattern is decomposed into regime / exponent / fraction fields, truncated to
+the posit precision available at that regime, and rounded with guard/sticky
+round-to-nearest-even.  The result is returned in the input dtype ("fake
+quantization": a float tensor whose values are exactly representable posits).
+
+Everything is pure jnp bit arithmetic: jit-able, vectorizable on the TPU VPU,
+and usable inside Pallas kernels.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .bitutils import (
+    F32_EXP_MASK,
+    F32_FRAC_MASK,
+    bits_f32,
+    f32_bits,
+    keep_high_bits_mask,
+    mask_from_shift,
+    shl,
+)
+
+__all__ = ["quantize_to_posit", "posit_max_value"]
+
+
+def posit_max_value(nbits: int, es: int) -> float:
+    """Largest representable posit magnitude: useed**(nbits-2)."""
+    return float((2 ** (2 ** es)) ** (nbits - 2))
+
+
+@partial(jax.jit, static_argnames=("nbits", "es", "round_to_even", "return_pbits"))
+def quantize_to_posit(
+    x: jax.Array,
+    nbits: int = 8,
+    es: int = 1,
+    round_to_even: bool = True,
+    return_pbits: bool = False,
+):
+    """Round ``x`` to the nearest posit(nbits, es) value.
+
+    Args:
+        x: float input (any float dtype; math runs on the float32 image).
+        nbits: total posit width including sign.
+        es: number of exponent bits.
+        round_to_even: flush |x| below the even-rounding threshold of minpos
+            to zero (matches hardware round-to-nearest-even at the bottom of
+            the range).
+        return_pbits: additionally return the signed raw posit bit patterns.
+
+    Returns:
+        The rounded tensor in ``x.dtype`` (and int32 posit bits if requested).
+    """
+    xf = x.astype(jnp.float32)
+    raw_bits = f32_bits(xf)
+    scale = ((raw_bits & F32_EXP_MASK) >> 23) - 127
+    fraction = raw_bits & F32_FRAC_MASK
+    positive_scale = scale >= 0
+
+    max_scale = (nbits - 2) * (1 << es)
+    # Lanes where the regime alone exceeds the posit range: saturate, no rounding.
+    regime_dominated = jnp.where(
+        positive_scale, scale > max_scale, scale < -max_scale
+    )
+
+    # Regime run length.  Arithmetic >> implements floor division for negative
+    # scales, exactly as the reference does with int32 tensors.
+    run = jnp.where(positive_scale, 1 + (scale >> es), -(scale >> es))
+    # Clamped copy used only as a shift count; out-of-range lanes are
+    # regime_dominated and their bit patterns are never consumed.
+    regime = jnp.where(
+        positive_scale, mask_from_shift(run + 1, 30) - 1, jnp.zeros_like(run)
+    ) ^ 1
+    exponent = jnp.mod(scale, 1 << es)
+    pt_bits = shl(regime, 23 + es, 31) | shl(exponent, 23, 31) | fraction
+
+    # Guard / sticky round-to-nearest-even on the truncated posit encoding.
+    total_len = 2 + run + es + 23
+    lb_mask = mask_from_shift(total_len - nbits)
+    gb_mask = jnp.right_shift(lb_mask, 1)
+    sb_mask = gb_mask - 1
+
+    lb = (pt_bits & lb_mask) != 0
+    gb = (pt_bits & gb_mask) != 0
+    sb = (pt_bits & sb_mask) != 0
+    rb = ((lb & gb) | (gb & sb)) & jnp.logical_not(regime_dominated)
+
+    # Truncate exponent bits lost to the regime.
+    ne_mask = jnp.clip(2 + run + es - nbits, 0, es)
+    scale_t = scale & keep_high_bits_mask(ne_mask, es if es > 0 else 31)
+    scale_t = jnp.clip(scale_t, -max_scale, max_scale)
+
+    # Truncate fraction bits.
+    nf_mask = jnp.clip(total_len - nbits, 0, 23)
+    fraction_t = fraction & keep_high_bits_mask(nf_mask, 23)
+
+    out_bits = ((scale_t + 127) << 23) | fraction_t
+    out_bits = jnp.where(rb, out_bits + mask_from_shift(nf_mask + ne_mask), out_bits)
+    out = bits_f32(out_bits) * jnp.sign(xf)
+
+    if round_to_even:
+        # Below this magnitude the nearest-even neighbour is exactly zero.
+        threshold = math.pow(
+            2.0, math.floor(-(nbits - 1) * (1 << es) + 2 ** (es - 1))
+        )
+        out = jnp.where(jnp.abs(xf) < threshold, 0.0, out)
+
+    out = jnp.where(xf == 0.0, 0.0, out)
+    out = jnp.where(jnp.isfinite(xf), out, jnp.nan)
+    out = out.astype(x.dtype)
+
+    if return_pbits:
+        pbits = jnp.right_shift(pt_bits, jnp.clip(total_len - nbits, 0, 31))
+        pbits = pbits & ((1 << (nbits - 1)) - 1)
+        pbits = jnp.where(rb, pbits + 1, pbits)
+        pbits = pbits * jnp.sign(xf).astype(jnp.int32)
+        return out, pbits
+
+    return out
