@@ -1,0 +1,432 @@
+"""Quantization-aware flax building blocks (the L3 model-integration layer).
+
+Where the reference wraps nn.Modules with forward/backward hooks and swaps
+them for QAT variants (reference: quantize.py:52-193,
+modules/qat/linear.py:40-41), this framework builds quantization into the
+modules themselves, driven by a static :class:`QuantConfig`:
+
+  * ``FakeQuant`` — a linen module holding observer state in the
+    ``quant_state`` collection.  The observer runs iff that collection is
+    mutable in the current ``apply`` (calibration / QAT step), so
+    freeze-after-calibrate is just dropping it from ``mutable=[...]``.
+  * ``quant point helpers`` — ``qgemm_inputs``, ``qresidual_add``, ``qmul``,
+    ``QLayerNorm``, ``QRMSNorm``, activation wrappers — each consults the
+    QuantConfig with (module path, op, category, index), implementing the
+    fusion ladder and all annotator scopes without graph surgery.
+  * ``QDense`` / ``QConv`` / ``QLoRADense`` — QAT layers applying
+    weight_fake_quant each step like the reference QAT modules.
+  * ``bwd_quantize`` — gradient ("error") quantization as a custom_vjp.
+
+Site naming matches the eager reference convention: the observer for input i
+of module m is ``{path}.activation_pre_process.{i}`` (quantize.py:128-146).
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..qspec import QScheme, QuantizationSpec
+from ..quantize.config import OpCategory, QuantConfig
+from ..quantize.fake_quant import FakeQuantState, fake_quantize, init_state
+from ..numerics import quantize_fn
+
+__all__ = [
+    "FakeQuant",
+    "QuantMixin",
+    "QDense",
+    "QLoRADense",
+    "QConv",
+    "QLayerNorm",
+    "QRMSNorm",
+    "NoNorm",
+    "bwd_quantize",
+    "QSoftmax",
+]
+
+Dtype = Any
+
+
+class FakeQuant(nn.Module):
+    """Fake-quantize a tensor, carrying observer state in ``quant_state``.
+
+    Observer updates happen iff the collection is mutable — i.e. the caller
+    passed ``mutable=["quant_state"]`` (or is initializing).  This replaces
+    the reference's observer_enabled / fake_quant_enabled toggles with the
+    natural JAX idiom.
+    """
+
+    spec: Optional[QuantizationSpec]
+    quantize: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        spec = self.spec
+        if spec is None:
+            return x
+
+        stateless = spec.qscheme in (
+            None, QScheme.MICROSCALING, QScheme.GROUP_WISE_AFFINE
+        )
+        if stateless:
+            y, _ = fake_quantize(x, spec, None, observe=False,
+                                 quantize=self.quantize)
+            return y
+
+        state_var = self.variable(
+            "quant_state", "state", init_state, spec, x.shape
+        )
+        observing = self.is_mutable_collection("quant_state")
+        y, new_state = fake_quantize(
+            x, spec, state_var.value, observe=observing, quantize=self.quantize
+        )
+        if observing and new_state is not None:
+            state_var.value = new_state
+        return y
+
+
+def _site(module: nn.Module, hook: str, index: int) -> str:
+    return f"{hook}.{index}"
+
+
+class QuantMixin:
+    """Mixin giving any linen module config-driven quantization points.
+
+    Requires a ``qconfig: QuantConfig`` attribute (may be None for a float
+    model).  All helpers are no-ops when the config resolves no spec, so the
+    same model class serves float and quantized execution with identical
+    parameter trees.
+    """
+
+    @property
+    def _path_str(self) -> str:
+        return ".".join(self.path)
+
+    def _qconfig(self) -> Optional[QuantConfig]:
+        return getattr(self, "qconfig", None)
+
+    def quant_input(
+        self,
+        x: jax.Array,
+        op: str,
+        category: OpCategory,
+        index: int = 0,
+        hook: Optional[str] = None,
+    ) -> jax.Array:
+        """Quantize a forward input tensor (forward-pre-hook semantics),
+        then (optionally) its gradient (backward-pre-hook semantics).
+
+        Observer naming is ``{op}_pre_process_{index}`` by default; pass
+        ``hook`` when one module hosts several sites of the same op kind.
+        """
+        cfg = self._qconfig()
+        if cfg is None:
+            return x
+        hook = hook or f"{op}_pre_process"
+        path = self._path_str
+        spec = cfg.activation_spec(path, op, category, index)
+        if spec is not None:
+            x = FakeQuant(spec, name=f"{hook}_{index}")(x)
+        err = cfg.error_spec(path, op, category, index)
+        if err is not None:
+            x = bwd_quantize(x, err)
+        return x
+
+    def quant_gemm_inputs(
+        self, *inputs: jax.Array, op: str = "linear"
+    ) -> Tuple[jax.Array, ...]:
+        return tuple(
+            self.quant_input(x, op, OpCategory.GEMM, i)
+            for i, x in enumerate(inputs)
+        )
+
+    def quant_residual(self, a: jax.Array, b: jax.Array,
+                       hook: Optional[str] = None) -> jax.Array:
+        """Residual add with both inputs quantized (AddFunctional)."""
+        a = self.quant_input(a, "add", OpCategory.RESIDUAL, 0, hook=hook)
+        b = self.quant_input(b, "add", OpCategory.RESIDUAL, 1, hook=hook)
+        return a + b
+
+    def quant_mul(self, a: jax.Array, b: jax.Array,
+                  hook: Optional[str] = None) -> jax.Array:
+        """Elementwise scaling with quantized inputs (MulFunctional)."""
+        a = self.quant_input(a, "mul", OpCategory.SCALING, 0, hook=hook)
+        b = self.quant_input(b, "mul", OpCategory.SCALING, 1, hook=hook)
+        return a * b
+
+    def quant_activation_input(self, x: jax.Array, op: str) -> jax.Array:
+        return self.quant_input(x, op, OpCategory.ACTIVATION, 0)
+
+    def quant_norm_input(self, x: jax.Array, op: str = "layer_norm") -> jax.Array:
+        return self.quant_input(x, op, OpCategory.LAYERNORM, 0)
+
+    def weight_fake_quant(self, w: jax.Array, op: str = "linear") -> jax.Array:
+        cfg = self._qconfig()
+        if cfg is None:
+            return w
+        spec = cfg.weight_spec(self._path_str, op)
+        if spec is None:
+            return w
+        return FakeQuant(spec, name="weight_fake_quant")(w)
+
+
+def bwd_quantize(x: jax.Array, spec: QuantizationSpec) -> jax.Array:
+    """Identity forward; fake-quantizes the cotangent in backward.
+
+    This is the reference's error_pre_process hook (quantize.py:142-150).
+    Design note: the reference keeps an amax *history* for gradients too;
+    carrying mutable state out of a VJP is not expressible in JAX, so error
+    quantization uses just-in-time scaling (amax of the current gradient
+    tensor).  Scale quality is equal-or-better; the delayed-scaling variant
+    existed to amortize the amax reduction, which XLA fuses for free here.
+    """
+
+    @jax.custom_vjp
+    def _identity(t):
+        return t
+
+    def fwd(t):
+        return t, None
+
+    def bwd(_, g):
+        gq, _ = fake_quantize(
+            g, spec.replace(amax_history_len=1), None,
+            observe=True, quantize=True,
+        )
+        return (gq,)
+
+    _identity.defvjp(fwd, bwd)
+    return _identity(x)
+
+
+class QDense(nn.Module, QuantMixin):
+    """Dense layer with QAT weight fake-quant + input activation quant.
+
+    Equivalent of reference qat.Linear (modules/qat/linear.py:40-41) plus the
+    forward-pre hook on nn.Linear (gemm category).  Kernel layout is
+    (in_features, out_features) per flax convention; HF loaders transpose.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    qconfig: Optional[QuantConfig] = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        kernel = kernel.astype(self.dtype)
+        x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
+        kernel = self.weight_fake_quant(kernel)
+        y = jnp.dot(x.astype(self.dtype), kernel,
+                    preferred_element_type=jnp.float32)
+        y = y.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", self.bias_init, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class QLoRADense(nn.Module, QuantMixin):
+    """LoRA-adapted dense layer with QAT semantics matching the reference
+    (modules/qat/lora.py:34-55): A and B are each fake-quantized with the
+    weight quantizer, then the merged weight W + (alpha/r)·B@A is
+    fake-quantized again before the matmul."""
+
+    features: int
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    qconfig: Optional[QuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), self.param_dtype,
+        ).astype(self.dtype)
+        lora_a = self.param(
+            "lora_a", nn.initializers.normal(0.02),
+            (in_features, self.lora_rank), self.param_dtype,
+        ).astype(self.dtype)
+        lora_b = self.param(
+            "lora_b", nn.initializers.zeros_init(),
+            (self.lora_rank, self.features), self.param_dtype,
+        ).astype(self.dtype)
+
+        cfg = self._qconfig()
+        wspec = cfg.weight_spec(self._path_str) if cfg else None
+        if wspec is not None:
+            lora_a = FakeQuant(wspec, name="lora_a_fake_quant")(lora_a)
+            lora_b = FakeQuant(wspec, name="lora_b_fake_quant")(lora_b)
+        scaling = self.lora_alpha / self.lora_rank
+        merged = kernel + scaling * (lora_a @ lora_b)
+        if wspec is not None:
+            merged = FakeQuant(wspec, name="weight_fake_quant")(merged)
+
+        x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
+        y = jnp.dot(x.astype(self.dtype), merged,
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class QConv(nn.Module, QuantMixin):
+    """2D convolution with QAT weight fake-quant (reference qat.Conv2d,
+    modules/qat/conv.py:43-45).  NHWC/HWIO layouts (TPU-native)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    feature_group_count: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    qconfig: Optional[QuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            self.kernel_size
+            + (x.shape[-1] // self.feature_group_count, self.features),
+            self.param_dtype,
+        ).astype(self.dtype)
+        x = self.quant_input(x, "conv2d", OpCategory.GEMM, 0)
+        kernel = self.weight_fake_quant(kernel, op="conv2d")
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel,
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class QLayerNorm(nn.Module, QuantMixin):
+    """LayerNorm with a quantized input (layernorm category)."""
+
+    epsilon: float = 1e-12
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    qconfig: Optional[QuantConfig] = None
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.quant_norm_input(x, "layer_norm")
+        dim = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones_init(), (dim,),
+                               self.param_dtype)
+            y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (dim,),
+                              self.param_dtype)
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class QRMSNorm(nn.Module, QuantMixin):
+    """RMSNorm (LLaMA) with a quantized input (layernorm category)."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    qconfig: Optional[QuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.quant_norm_input(x, "rms_norm")
+        dim = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones_init(), (dim,),
+                           self.param_dtype)
+        return (y * scale).astype(self.dtype)
+
+
+class NoNorm(nn.Module, QuantMixin):
+    """MobileBERT's NoNorm: elementwise scale+shift, no statistics
+    (layernorm category for the fusion ladder)."""
+
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    qconfig: Optional[QuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.quant_norm_input(x, "layer_norm")
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (dim,),
+                           self.param_dtype).astype(x.dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (dim,),
+                          self.param_dtype).astype(x.dtype)
+        return x * scale + bias
+
+
+class QSoftmax(nn.Module, QuantMixin):
+    """Softmax with a quantized input (activation category).
+
+    With ``posit_exp`` / ``posit_reciprocal`` set, exp and 1/sum are rounded
+    through posit16_1 — the TPU-native equivalent of the reference's
+    LUT-approximated softmax (modules/softmax.py:58-85): identical values,
+    computed in-register instead of via gold-file tables.
+    """
+
+    posit_exp: bool = False
+    posit_exp_shifted: bool = False
+    posit_reciprocal: bool = False
+    dtype: Dtype = jnp.bfloat16
+    qconfig: Optional[QuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.quant_activation_input(x, "softmax")
+        xf = x.astype(jnp.float32)
+        x_max = jnp.max(xf, axis=-1, keepdims=True)
+        shifted = xf - jax.lax.stop_gradient(x_max)
+        e = jnp.exp(shifted)
+        if self.posit_exp or self.posit_exp_shifted:
+            p16 = quantize_fn("posit16_1")
+            e = p16(e)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        if self.posit_reciprocal:
+            p16 = quantize_fn("posit16_1")
+            recip = p16(1.0 / denom)
+            out = e * recip
+        else:
+            out = e / denom
+        return out.astype(self.dtype)

@@ -58,6 +58,7 @@ _NATIVE_DTYPES = {
 }
 
 
+@lru_cache(maxsize=None)
 def quantize_fn(dtype: Optional[str]) -> Callable[[jax.Array], jax.Array]:
     """Direct elementwise quantizer for a dtype string.
 

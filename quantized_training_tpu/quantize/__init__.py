@@ -1,0 +1,53 @@
+"""Functional quantization transforms (L2/L3 of the framework)."""
+
+from .fake_quant import (
+    FakeQuantState,
+    fake_quantize,
+    init_state,
+    straight_through,
+    scale_shape_for,
+)
+from .ops import (
+    expand_scale,
+    quantize,
+    dequantize,
+    calculate_mx_qparam,
+    quantize_mx,
+    linear_mx,
+    matmul_mx,
+    conv2d_mx,
+    filter_outlier,
+    outlier_matmul,
+    to_csr,
+)
+from .config import (
+    OpCategory,
+    QConfig,
+    QuantConfig,
+    FUSION_LADDER,
+    parse_op_categories,
+)
+
+__all__ = [
+    "FakeQuantState",
+    "fake_quantize",
+    "init_state",
+    "straight_through",
+    "scale_shape_for",
+    "expand_scale",
+    "quantize",
+    "dequantize",
+    "calculate_mx_qparam",
+    "quantize_mx",
+    "linear_mx",
+    "matmul_mx",
+    "conv2d_mx",
+    "filter_outlier",
+    "outlier_matmul",
+    "to_csr",
+    "OpCategory",
+    "QConfig",
+    "QuantConfig",
+    "FUSION_LADDER",
+    "parse_op_categories",
+]

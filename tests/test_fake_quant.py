@@ -1,0 +1,242 @@
+"""Semantics tests for the functional fake-quant layer.
+
+The reference's FusedAmaxObsFakeQuantize cannot be imported under current
+torch, so these tests pin the *documented* reference semantics directly:
+delayed scaling from the amax history (scale excludes the current batch),
+ring-buffer rolling, per-channel shapes, microscaling block math, group-wise
+affine reconstruction, outlier restore, and straight-through gradients.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quantized_training_tpu.qspec import QuantizationSpec, QScheme
+from quantized_training_tpu.quantize.fake_quant import (
+    fake_quantize,
+    init_state,
+)
+from quantized_training_tpu.quantize.ops import (
+    calculate_mx_qparam,
+    expand_scale,
+    quantize_mx,
+    filter_outlier,
+    outlier_matmul,
+    to_csr,
+)
+from quantized_training_tpu.numerics import quantize_fn
+
+
+def spec_pt(dtype="posit8_1", **kw):
+    return QuantizationSpec.from_str(f"{dtype},qs=per_tensor_symmetric").replace(**kw)
+
+
+class TestDelayedScaling:
+    def test_first_step_uses_unit_scale(self):
+        """Empty history -> amax 0 -> scale keeps its init value 1.0."""
+        spec = spec_pt(amax_history_len=4)
+        x = jnp.full((4, 4), 100.0, jnp.bfloat16)
+        y, state = fake_quantize(x, spec)
+        # quantized with scale 1.0: posit8_1 of 100 is 96
+        assert float(y[0, 0]) == 96.0
+        assert float(state.scale) == 1.0
+        np.testing.assert_allclose(float(state.amax_history[0]), 100.0)
+
+    def test_second_step_uses_history_amax(self):
+        spec = spec_pt(amax_history_len=4)
+        x1 = jnp.full((4, 4), 8192.0, jnp.float32)
+        x2 = jnp.ones((4, 4), jnp.float32)
+        _, state = fake_quantize(x1, spec)
+        y2, state2 = fake_quantize(x2, spec, state)
+        # scale = amax(history)/quant_max = 8192/4096 = 2.0
+        assert float(state2.scale) == 2.0
+        # y = posit(1/2)*2 = 1.0
+        assert float(y2[0, 0]) == 1.0
+
+    def test_history_rolls(self):
+        spec = spec_pt(amax_history_len=3)
+        state = init_state(spec, (2,))
+        for v in [1.0, 2.0, 3.0]:
+            _, state = fake_quantize(jnp.full((2,), v), spec, state)
+        hist = np.asarray(state.amax_history)
+        assert set(hist.tolist()) == {1.0, 2.0, 3.0}
+        assert hist[0] == 3.0  # newest in slot 0
+        _, state = fake_quantize(jnp.full((2,), 4.0), spec, state)
+        hist = np.asarray(state.amax_history)
+        assert 1.0 not in hist.tolist()  # oldest evicted
+
+    def test_per_channel_scale_shape(self):
+        spec = QuantizationSpec.from_str(
+            "e4m3,qs=per_channel_symmetric,ax=-1,ahl=2"
+        )
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 6)), jnp.float32)
+        y, state = fake_quantize(x, spec)
+        assert state.scale.shape == (1, 6)
+        assert state.amax_history.shape == (2, 1, 6)
+
+    def test_force_scale_power_of_two(self):
+        spec = spec_pt(amax_history_len=2, force_scale_power_of_two=True)
+        _, state = fake_quantize(jnp.full((2,), 3000.0), spec)
+        _, state = fake_quantize(jnp.full((2,), 1.0), spec, state)
+        # amax 3000 / 4096 = 0.73 -> 2^ceil(log2 0.73) = 2^0 = 1.0
+        assert float(state.scale) == 1.0
+
+    def test_observer_off_freezes_scale(self):
+        spec = spec_pt(amax_history_len=4)
+        _, state = fake_quantize(jnp.full((2,), 8192.0), spec)
+        y, state2 = fake_quantize(
+            jnp.full((2,), 123456.0), spec, state, observe=False
+        )
+        assert float(state2.scale) == float(state.scale)
+        np.testing.assert_array_equal(
+            np.asarray(state2.amax_history), np.asarray(state.amax_history)
+        )
+
+    def test_jit_stable(self):
+        spec = spec_pt(amax_history_len=4)
+        state = init_state(spec, (8, 8))
+
+        @jax.jit
+        def step(x, state):
+            return fake_quantize(x, spec, state)
+
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((8, 8)), jnp.float32)
+        for _ in range(3):
+            y, state = step(x, state)
+        assert y.shape == x.shape
+
+
+class TestMicroscaling:
+    def test_block_scales(self):
+        spec = QuantizationSpec.from_str("int8,qs=microscaling,bs=4,ax=-1")
+        x = jnp.asarray(
+            [[1.0] * 4 + [100.0] * 4], jnp.float32
+        )
+        y, _ = fake_quantize(x, spec)
+        # block 1 scale = 1/127, block 2 scale = 100/127; reconstruction
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-2)
+
+    def test_qparam_shapes(self):
+        x = jnp.ones((3, 10), jnp.float32)
+        scale = calculate_mx_qparam(x, (-1,), 4, 127.0)
+        assert scale.shape == (3, 3)  # ceil(10/4) blocks
+
+    def test_pow2_scales(self):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8)) * 5,
+                        jnp.float32)
+        scale = calculate_mx_qparam(x, (-1,), 8, 127.0,
+                                    force_scale_power_of_two=True)
+        logs = np.log2(np.asarray(scale, np.float64))
+        np.testing.assert_array_equal(logs, np.round(logs))
+
+    def test_scale_codebook(self):
+        spec = QuantizationSpec.from_str(
+            "int6,qs=microscaling,bs=4,ax=-1,scale=fp8_e5m3"
+        )
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((4, 8)) * 3,
+                        jnp.float32)
+        y, _ = fake_quantize(x, spec)
+        # scales must be exactly representable in the unsigned fp8_e5m3 format
+        scale, q = quantize_mx(
+            x, quantize_fn("int6"), (-1,), 4, 31.0,
+            scale_qfn=quantize_fn("fp8_e5m3"),
+        )
+        requantized = quantize_fn("fp8_e5m3")(scale)
+        np.testing.assert_array_equal(np.asarray(scale), np.asarray(requantized))
+
+    def test_expand_scale_crops_padding(self):
+        scale = jnp.asarray([[1.0, 2.0]])
+        out = expand_scale(scale, (1, 6), 4)
+        np.testing.assert_array_equal(
+            np.asarray(out), [[1.0, 1.0, 1.0, 1.0, 2.0, 2.0]]
+        )
+
+
+class TestGroupWiseAffine:
+    def test_reconstruction(self):
+        spec = QuantizationSpec.from_str(
+            "uint4,qs=group_wise_affine,bs=8,ax=-1"
+        )
+        x = jnp.asarray(
+            np.random.default_rng(3).uniform(-2, 5, (4, 16)), jnp.float32
+        )
+        y, _ = fake_quantize(x, spec)
+        step = (x.max() - x.min()) / 15  # worst-case quantization step
+        assert float(jnp.max(jnp.abs(y - x))) <= float(step)
+
+    def test_constant_block_passthrough(self):
+        """sf<=0 blocks fall back to scale 1 (reference: sf>0 ? sf : 1)."""
+        spec = QuantizationSpec.from_str(
+            "uint2,qs=group_wise_affine,bs=4,ax=-1"
+        )
+        x = jnp.full((2, 4), 7.0, jnp.float32)
+        y, _ = fake_quantize(x, spec)
+        # min==max -> sf=1, zp=-7+0=-7; q=clamp(7/1-7)=0; deq=(0+7)*1=7
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def test_kv_axis_orientations(self):
+        """K quantizes along ax=-2, V along ax=-1 (KIVI convention)."""
+        x = jnp.asarray(
+            np.random.default_rng(4).standard_normal((2, 8, 16)), jnp.float32
+        )
+        for ax in (-1, -2):
+            spec = QuantizationSpec.from_str(
+                f"uint2,qs=group_wise_affine,bs=8,ax={ax}"
+            )
+            y, _ = fake_quantize(x, spec)
+            assert y.shape == x.shape
+
+
+class TestOutlier:
+    def test_mask_and_restore(self):
+        spec = spec_pt("int4", amax_history_len=2).replace(outlier_threshold=4.0)
+        x = jnp.asarray([[0.3, 100.0, -0.7, -50.0]], jnp.float32)
+        y, state = fake_quantize(x, spec)
+        # outliers pass through exactly; inliers quantized with scale 1.0
+        assert float(y[0, 1]) == 100.0
+        assert float(y[0, 3]) == -50.0
+        # observer sees the masked tensor only (amax from inliers)
+        assert float(state.amax_history[0]) == pytest.approx(0.7, rel=1e-2)
+
+    def test_filter_outlier_dense(self):
+        x = jnp.asarray([[1.0, 10.0], [-20.0, 0.5]], jnp.float32)
+        inlier, outlier = filter_outlier(x, 5.0)
+        np.testing.assert_array_equal(np.asarray(inlier), [[1.0, 0.0], [0.0, 0.5]])
+        np.testing.assert_array_equal(np.asarray(outlier), [[0.0, 10.0], [-20.0, 0.0]])
+        b = jnp.eye(2, dtype=jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(outlier_matmul(outlier, b)), np.asarray(outlier)
+        )
+
+    def test_to_csr_roundtrip(self):
+        x = np.array([[0.0, 3.0, 0.0], [4.0, 0.0, 5.0]], np.float32)
+        data, idx, indptr = to_csr(x, max_nnz=4)
+        np.testing.assert_array_equal(data[:3], [3.0, 4.0, 5.0])
+        np.testing.assert_array_equal(idx[:3], [1, 0, 2])
+        np.testing.assert_array_equal(indptr, [0, 1, 3])
+
+
+class TestStraightThrough:
+    def test_identity_gradient(self):
+        spec = spec_pt(amax_history_len=2)
+        state = init_state(spec, (4,))
+
+        def loss(x):
+            y, _ = fake_quantize(x, spec, state)
+            return jnp.sum(y * jnp.arange(4.0))
+
+        g = jax.grad(loss)(jnp.asarray([0.1, -2.0, 3.0, 1e9], jnp.float32))
+        np.testing.assert_array_equal(np.asarray(g), [0.0, 1.0, 2.0, 3.0])
+
+    def test_mx_identity_gradient(self):
+        spec = QuantizationSpec.from_str("int8,qs=microscaling,bs=4,ax=-1")
+
+        def loss(x):
+            y, _ = fake_quantize(x, spec)
+            return jnp.sum(y)
+
+        x = jnp.asarray(np.random.default_rng(5).standard_normal((2, 8)), jnp.float32)
+        g = jax.grad(loss)(x)
+        np.testing.assert_array_equal(np.asarray(g), np.ones_like(np.asarray(g)))
