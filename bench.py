@@ -1,0 +1,134 @@
+"""Benchmark: quantized-LLaMA forward throughput vs bf16 baseline.
+
+Measures tokens/s of a posit8-quantized LLaMA block stack (activation fake
+quant at every GEMM input, weights pre-quantized offline as in serving)
+against the same model in pure bf16 on the same chip.  ``vs_baseline`` is
+the throughput ratio quantized/bf16 — the cost of quantization; 1.0 means
+quantization is free, >1.0 means the quantized path wins.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build(quantized: bool):
+    from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+    from quantized_training_tpu.quantize import QConfig, QuantConfig
+
+    cfg = LlamaConfig(
+        vocab_size=32000,
+        hidden_size=2048,
+        intermediate_size=5504,
+        num_hidden_layers=8,
+        num_attention_heads=16,
+        num_key_value_heads=16,
+        max_position_embeddings=1024,
+    )
+    qc = None
+    if quantized:
+        qc = QuantConfig(
+            global_qconfig=QConfig.from_strs(
+                activation="posit8_1", weight="posit8_1"
+            )
+        ).with_fusion(forward="gemm")
+    return LlamaForCausalLM(cfg, qc), cfg
+
+
+def prequantize_weights(variables):
+    """Offline weight quantization (serving mode): round every matmul kernel
+    to posit8_1 once, so the runtime path only quantizes activations."""
+    from quantized_training_tpu.numerics import quantize_fn
+
+    q = quantize_fn("posit8_1")
+
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif k == "kernel":
+                out[k] = q(v.astype(jnp.bfloat16)).astype(v.dtype)
+            else:
+                out[k] = v
+        return out
+
+    return {**variables, "params": walk(variables["params"])}
+
+
+def measure(model, variables, ids, iters=8, repeats=3):
+    """Tokens/s with the iteration loop *on device* (lax.fori_loop inside one
+    jit) and a scalar fetch: remote backends have large per-dispatch latency
+    and lazy block_until_ready, so host-side loops measure RPC, not compute.
+    The n=1 run is subtracted to remove dispatch+fetch overhead."""
+    from functools import partial
+
+    vocab = 32000
+
+    @partial(jax.jit, static_argnames="n")
+    def run(v, ids0, n):
+        def body(i, carry):
+            ids_i, acc = carry
+            out = model.apply(v, ids_i)
+            # data dependence between iterations so XLA can't hoist the body
+            acc = acc + jnp.sum(out[..., 0])
+            ids_i = (ids_i + 1) % vocab
+            return ids_i, acc
+        _, acc = jax.lax.fori_loop(0, n, body, (ids0, jnp.float32(0.0)))
+        return acc
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run(variables, ids, n))  # scalar fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    float(run(variables, ids, 1))          # compile
+    float(run(variables, ids, iters + 1))  # compile
+    t_base = timed(1)
+    t_full = timed(iters + 1)
+    dt = (t_full - t_base) / iters
+    tokens = ids.shape[0] * ids.shape[1]
+    return tokens / dt
+
+
+def main():
+    batch, seq = 4, 1024
+    rng = np.random.default_rng(0)
+
+    qmodel, cfg = build(quantized=True)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)))
+    qvars = qmodel.init(jax.random.PRNGKey(0), ids)
+    qvars = prequantize_weights(qvars)
+    # weight rounding is folded offline; runtime quantizes activations only
+    from quantized_training_tpu.quantize import QConfig, QuantConfig
+    act_only = QuantConfig(
+        global_qconfig=QConfig.from_strs(activation="posit8_1")
+    ).with_fusion(forward="gemm")
+    from quantized_training_tpu.models import LlamaForCausalLM
+    qmodel = LlamaForCausalLM(cfg, act_only)
+    q_tps = measure(qmodel, {"params": qvars["params"]}, ids)
+
+    fmodel, _ = build(quantized=False)
+    f_tps = measure(fmodel, {"params": qvars["params"]}, ids)
+
+    print(json.dumps({
+        "metric": "llama2s_posit8_forward_tokens_per_s",
+        "value": round(q_tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(q_tps / f_tps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

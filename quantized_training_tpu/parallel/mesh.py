@@ -1,0 +1,61 @@
+"""Device mesh construction for single- and multi-host runs.
+
+The reference framework has no real distribution layer (its "device map" is
+sequential layer offload, reference: pt2e_utils.py:62-156).  Here scale-out
+is first-class: a named mesh over ICI (and DCN for multi-host), with data /
+model (tensor) axes.  All sharding in the framework is expressed against
+these axis names, so the same model code runs on 1 chip or a pod slice.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "DATA_AXIS", "MODEL_AXIS", "local_mesh"]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    data: int = 1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """A (data, model) mesh.  ``model`` should map to ICI-adjacent devices
+    (it carries the tensor-parallel collectives); jax's default device order
+    already enumerates ICI neighbors contiguously, so ``model`` is the minor
+    mesh axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = data * model
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} needs {n} devices, have {len(devices)}"
+        )
+    arr = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def local_mesh(model: Optional[int] = None) -> Mesh:
+    """Mesh over all local devices: full model-parallel unless told otherwise."""
+    devs = jax.devices()
+    model = model or len(devs)
+    return create_mesh(data=len(devs) // model, model=model, devices=devs)
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Join a multi-host job (DCN).  Thin wrapper over
+    jax.distributed.initialize; no-op when already initialized or single-host
+    env vars are absent."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass

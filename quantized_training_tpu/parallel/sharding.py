@@ -1,0 +1,96 @@
+"""Sharding rules: regex path -> PartitionSpec, with Megatron-style tensor
+parallelism for the model zoo.
+
+Weights, activations, optimizer state, observer state, and the KV cache are
+all plain pytrees, so one rule engine shards everything.  The LLaMA rules
+implement the standard TP layout: column-parallel qkv/gate/up (output dim on
+the model axis), row-parallel o_proj/down (input dim on the model axis), so
+each decoder layer needs exactly one psum per block — XLA inserts it from the
+shardings; no hand-written collectives.
+
+Quantization interacts with TP cleanly because fake-quant scale state is
+either scalar (replicated) or per-channel on the sharded axis (sharded with
+its tensor): ``shard_rules_llama`` includes rules for the ``quant_state``
+collection too.
+"""
+
+import re
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+__all__ = [
+    "apply_sharding_rules",
+    "shard_rules_llama",
+    "shard_pytree",
+    "batch_sharding",
+]
+
+Rules = Sequence[Tuple[str, P]]
+
+
+def shard_rules_llama() -> Rules:
+    """Tensor-parallel partition specs for LlamaForCausalLM params.
+
+    Kernel layout is (in, out); column-parallel layers shard dim 1,
+    row-parallel shard dim 0.
+    """
+    m = MODEL_AXIS
+    return (
+        # attention: qkv column-parallel, o row-parallel
+        (r"\.(q_proj|k_proj|v_proj)\.kernel$", P(None, m)),
+        (r"\.o_proj\.kernel$", P(m, None)),
+        # mlp: gate/up column-parallel, down row-parallel
+        (r"\.(gate_proj|up_proj)\.kernel$", P(None, m)),
+        (r"\.down_proj\.kernel$", P(m, None)),
+        # embeddings / head: shard the hidden or vocab dim
+        (r"embed_tokens\.embedding$", P(m, None)),
+        (r"lm_head\.kernel$", P(None, m)),
+        # norms replicated
+        (r"\.scale$", P()),
+        (r"\.bias$", P()),
+        # per-channel fake-quant state follows its tensor's sharded axis when
+        # ch_axis is the output dim; scalar state replicates
+        (r"quant_state.*", P()),
+        # KV cache: shard heads over the model axis, batch over data
+        (r"cache_[kv]$", P(DATA_AXIS, None, m, None)),
+    )
+
+
+def _path_str(path) -> str:
+    return ".".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def apply_sharding_rules(
+    tree, mesh: Mesh, rules: Rules, default: P = P()
+):
+    """NamedSharding pytree matching ``tree`` by regex rules (first match
+    wins)."""
+
+    def resolve(path, leaf):
+        p = _path_str(path)
+        for pattern, spec in rules:
+            if re.search(pattern, p):
+                # Drop axes the leaf doesn't have (scalar scale state etc.).
+                if len(spec) > getattr(leaf, "ndim", 0):
+                    spec_ = P(*list(spec)[: getattr(leaf, "ndim", 0)])
+                else:
+                    spec_ = spec
+                return NamedSharding(mesh, spec_)
+        return NamedSharding(mesh, default)
+
+    return jax.tree_util.tree_map_with_path(resolve, tree)
+
+
+def shard_pytree(tree, mesh: Mesh, rules: Rules):
+    """Move a pytree onto the mesh with the given rules."""
+    shardings = apply_sharding_rules(tree, mesh, rules)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim over the data axis, everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
