@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..quantize.config import OpCategory, QuantConfig
+from ..serving.kv_cache import KVCacheConfig
 from .layers import QDense, QRMSNorm, QSoftmax, QuantMixin
 
 __all__ = ["LlamaConfig", "LlamaForCausalLM", "LlamaModel"]
@@ -39,6 +40,12 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
     dtype: str = "bfloat16"
+    # Optional KIVI-style quantized KV cache (serving); None = fp cache.
+    kv_cache: Optional["KVCacheConfig"] = None
+    # Route eligible attention through the Pallas flash kernel (quantization
+    # hooks fused in).  Falls back to the naive path when the config needs
+    # sites flash cannot host (posit softmax, scaling/softmax-input quant).
+    use_flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -118,8 +125,25 @@ class LlamaAttention(nn.Module, QuantMixin):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if use_cache:
-            # Static-shape decode cache (max_position_embeddings slots).
+        if use_cache and cfg.kv_cache is not None:
+            # KIVI two-tier cache: quantized main (prefill) + fp residual
+            # (decode), reference llm_utils.py:295-596.
+            from ..serving.kv_cache import (
+                append_to_cache, cache_kv, init_cache, prefill_cache,
+            )
+
+            kcfg = cfg.kv_cache
+            cache_var = self.variable(
+                "cache", "kivi",
+                lambda: init_cache(kcfg, B, KV, D, dtype))
+            if S > 1:
+                # Prefill: attend over the raw K/V; store them quantized.
+                cache_var.value = prefill_cache(cache_var.value, kcfg, k, v)
+            else:
+                cache_var.value = append_to_cache(cache_var.value, k, v)
+                k, v = cache_kv(cache_var.value, kcfg, dtype)
+        elif use_cache:
+            # Static-shape full-precision decode cache.
             cache_k = self.variable(
                 "cache", "cache_k",
                 lambda: jnp.zeros((B, cfg.max_position_embeddings, KV, D), dtype))
@@ -133,11 +157,95 @@ class LlamaAttention(nn.Module, QuantMixin):
                 cache_v.value, v, (0, idx, 0, 0))
             k, v = cache_k.value, cache_v.value
 
+        if self._flash_eligible(attention_mask, use_cache, S, D):
+            ctx = self._flash_path(q, k, v)
+        else:
+            ctx = self._naive_path(
+                q, k, v, attention_mask, use_cache, cache_index, B, S)
+        ctx = ctx.reshape(B, S, H * D)
+        return dense(cfg.hidden_size, "o_proj")(ctx)
+
+    # -- flash path ---------------------------------------------------------
+
+    def _site_direct_dtype(self, op, category, index, hook=None):
+        """dtype string if the site uses direct rounding (flash-fusable);
+        False if the site needs machinery flash cannot host; None if off."""
+        cfg_q = self._qconfig()
+        if cfg_q is None:
+            return None
+        spec = cfg_q.activation_spec(self._path_str, op, category, index)
+        if spec is None:
+            return None
+        if spec.qscheme is None and spec.outlier_threshold is None:
+            return spec.dtype
+        return False
+
+    def _flash_eligible(self, attention_mask, use_cache, S, D):
+        cfg = self.config
+        if not cfg.use_flash_attention or use_cache:
+            return False
+        if attention_mask is not None:
+            return False
+        if D % 128 != 0 or S % 128 != 0:
+            return False
+        cfg_q = self._qconfig()
+        if cfg_q is None:
+            return True
+        sites = [
+            self._site_direct_dtype("matmul", OpCategory.GEMM, 0),
+            self._site_direct_dtype("matmul", OpCategory.GEMM, 1),
+            self._site_direct_dtype("matmul", OpCategory.GEMM, 0, "av"),
+            self._site_direct_dtype("matmul", OpCategory.GEMM, 1, "av"),
+        ]
+        if any(s is False for s in sites):
+            return False
+        # scaling / softmax-input quantization and posit softmax need the
+        # naive path ("no fusion" ladder rungs).
+        if cfg_q.activation_spec(self._path_str, "mul", OpCategory.SCALING, 0) is not None:
+            return False
+        if cfg_q.activation_spec(self._path_str, "softmax", OpCategory.ACTIVATION, 0) is not None:
+            return False
+        if cfg_q.error_spec(self._path_str, "matmul", OpCategory.GEMM, 0) is not None:
+            return False
+        return True
+
+    def _flash_path(self, q, k, v):
+        """Quantization-fused flash attention (q/k/v in (B, S, H, D))."""
+        from ..numerics import quantize_fn, quantize_fn_positive
+        from ..ops.pallas.flash_attention import flash_attention
+
+        qd = self._site_direct_dtype("matmul", OpCategory.GEMM, 0)
+        kd = self._site_direct_dtype("matmul", OpCategory.GEMM, 1)
+        pd = self._site_direct_dtype("matmul", OpCategory.GEMM, 0, "av")
+        vd = self._site_direct_dtype("matmul", OpCategory.GEMM, 1, "av")
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            q_qfn=quantize_fn(qd) if qd else None,
+            k_qfn=quantize_fn(kd) if kd else None,
+            p_qfn=quantize_fn_positive(pd) if pd else None,
+            v_qfn=quantize_fn(vd) if vd else None,
+        )
+        return out.transpose(0, 2, 1, 3)
+
+    # -- naive path ---------------------------------------------------------
+
+    def _naive_path(self, q, k, v, attention_mask, use_cache, cache_index,
+                    B, S):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        H, KV, D = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+
         # GQA: repeat kv heads.
-        if KV != H:
-            rep = H // KV
+        if k.shape[2] != H:
+            rep = H // k.shape[2]
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
+
+        if attention_mask is None:
+            attention_mask = causal_mask(B, S, k.shape[1],
+                                         cache_index if use_cache else 0)
 
         # qk matmul: both inputs quantized (MatmulFunctional semantics).
         qq = self.quant_input(q, "matmul", OpCategory.GEMM, 0)
@@ -151,8 +259,7 @@ class LlamaAttention(nn.Module, QuantMixin):
             scores.astype(dtype), scale.astype(dtype)
         ).astype(jnp.float32)
 
-        if attention_mask is not None:
-            scores = scores + attention_mask.astype(jnp.float32)
+        scores = scores + attention_mask.astype(jnp.float32)
 
         probs = QSoftmax(dtype=dtype, qconfig=self.qconfig, name="softmax")(
             scores.astype(dtype)
@@ -163,11 +270,9 @@ class LlamaAttention(nn.Module, QuantMixin):
                               hook="av_pre_process")
         vv = self.quant_input(v, "matmul", OpCategory.GEMM, 1,
                               hook="av_pre_process")
-        ctx = jnp.einsum(
+        return jnp.einsum(
             "bhst,bthd->bshd", pp, vv, preferred_element_type=jnp.float32
         ).astype(dtype)
-        ctx = ctx.reshape(B, S, H * D)
-        return dense(cfg.hidden_size, "o_proj")(ctx)
 
 
 class LlamaMLP(nn.Module, QuantMixin):
@@ -251,14 +356,30 @@ class LlamaModel(nn.Module, QuantMixin):
             positions = jnp.broadcast_to(positions, (B, S))
 
         if attention_mask is None:
-            kv_len = cfg.max_position_embeddings if use_cache else S
-            offset = cache_index if cache_index is not None else 0
-            attention_mask = causal_mask(B, S, kv_len, offset)
-            if use_cache:
-                # Also mask not-yet-written cache slots beyond current pos.
-                kv_pos = jnp.arange(kv_len)[None, None, None, :]
-                valid = kv_pos <= (offset + S - 1)
-                attention_mask = jnp.where(valid, attention_mask, MASK_VALUE)
+            if use_cache and cfg.kv_cache is not None:
+                if S > 1:
+                    # kivi prefill attends over the current tokens only
+                    attention_mask = causal_mask(B, S, S, 0)
+                else:
+                    # Default decode mask assumes a full prefill; generators
+                    # with shorter prefills pass attention_mask explicitly.
+                    from ..serving.kv_cache import residual_causal_mask
+                    kcfg = cfg.kv_cache
+                    pos = cache_index if cache_index is not None else kcfg.max_prefill
+                    attention_mask = residual_causal_mask(
+                        kcfg, B, S,
+                        main_len=jnp.asarray(kcfg.max_prefill, jnp.int32),
+                        res_len=jnp.asarray(pos, jnp.int32) - kcfg.max_prefill,
+                    )
+            else:
+                kv_len = cfg.max_position_embeddings if use_cache else S
+                offset = cache_index if cache_index is not None else 0
+                attention_mask = causal_mask(B, S, kv_len, offset)
+                if use_cache:
+                    # Also mask not-yet-written cache slots beyond current pos.
+                    kv_pos = jnp.arange(kv_len)[None, None, None, :]
+                    valid = kv_pos <= (offset + S - 1)
+                    attention_mask = jnp.where(valid, attention_mask, MASK_VALUE)
 
         for i in range(cfg.num_hidden_layers):
             hidden = LlamaDecoderLayer(

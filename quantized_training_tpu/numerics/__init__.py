@@ -7,7 +7,7 @@ executable specification: tests enumerate all bf16 values and assert the
 direct quantizers agree with the reference framework bit-for-bit.
 """
 
-from .posit import quantize_to_posit, posit_max_value
+from .posit import quantize_to_posit, quantize_to_posit_positive, posit_max_value
 from .fp8 import (
     quantize_to_fp8_e4m3,
     quantize_to_fp8_e5m2,
@@ -24,6 +24,7 @@ from .lut import (
     apply_lut,
     lut_indices,
     quantize_fn,
+    quantize_fn_positive,
     dequantize_nf,
 )
 from .mx import (
@@ -35,6 +36,7 @@ from .mx import (
 
 __all__ = [
     "quantize_to_posit",
+    "quantize_to_posit_positive",
     "posit_max_value",
     "quantize_to_fp8_e4m3",
     "quantize_to_fp8_e5m2",
@@ -52,6 +54,7 @@ __all__ = [
     "apply_lut",
     "lut_indices",
     "quantize_fn",
+    "quantize_fn_positive",
     "dequantize_nf",
     "shared_exponents",
     "reshape_to_blocks",

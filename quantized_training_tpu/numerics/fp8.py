@@ -73,7 +73,6 @@ def _quantize_fp8(x: jax.Array, mbits: int, fp8_max: float, fp8_min: float):
     return out.astype(x.dtype)
 
 
-@partial(jax.jit, static_argnames=("mbits", "fp8_max", "fp8_min"))
 def quantize_to_fp8_e4m3(
     x: jax.Array, mbits: int = 3, fp8_max: float = 448.0, fp8_min: float = 2.0 ** -6
 ) -> jax.Array:
@@ -81,7 +80,6 @@ def quantize_to_fp8_e4m3(
     return _quantize_fp8(x, mbits, fp8_max, fp8_min)
 
 
-@partial(jax.jit, static_argnames=("mbits", "fp8_max", "fp8_min"))
 def quantize_to_fp8_e5m2(
     x: jax.Array, mbits: int = 2, fp8_max: float = 57344.0, fp8_min: float = 2.0 ** -14
 ) -> jax.Array:
@@ -133,11 +131,6 @@ def _floor_log2(a: jax.Array) -> jax.Array:
     return jnp.floor(lg.astype(a.dtype).astype(jnp.float32)).astype(a.dtype)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("bits", "exp_bits", "max_norm", "round_mode",
-                     "saturate_normals", "allow_denorm"),
-)
 def quantize_elemwise(
     a: jax.Array,
     bits: int,

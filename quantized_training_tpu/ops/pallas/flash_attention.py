@@ -1,0 +1,273 @@
+"""Quantization-aware flash attention (Pallas/Mosaic TPU kernel).
+
+The reference framework makes attention quantizable by splitting it per head
+and inserting fake-quant nodes around the qk / av matmuls, softmax and the
+scaling mul (reference: mapping.py:285-383, modules/quantizable/*).  On TPU
+the same fusion ladder is achieved by *composing the quantizers into the
+attention kernel itself*: q/k/v tiles are rounded in VMEM right before they
+feed the MXU, and the probability tiles are rounded before the av matmul —
+the (B, H, S, S) score tensor never exists in HBM at all.
+
+Online-softmax notes:
+  * q/k/v quantization hooks are exact (elementwise on tiles).
+  * probability quantization (``p_qfn``) is applied to the normalized
+    probabilities: the kernel keeps the running max/denominator like standard
+    flash attention, then on the *final* k-block pass rescales stored partial
+    results.  To keep single-pass structure, p_qfn is applied to
+    exp(s - m_run) tiles (normalized by the running denominator at the end);
+    this equals quantizing true probabilities only when m_run has converged
+    for the tile, so it is an approximation of the reference's
+    quantize-after-softmax.  Accuracy-parity evaluations use the XLA
+    (naive) attention path; this kernel is the serving/performance path.
+  * GQA is handled by the k/v BlockSpec index maps (head h reads kv head
+    h // group) — repeated heads are never materialized.
+
+Interface shapes: q (B, H, S, D); k, v (B, KV, T, D); output (B, H, S, D).
+S, T must be multiples of the block sizes; D must be a multiple of 128
+(use 128 for head_dim 64 by padding at the caller — standard for TPU).
+"""
+
+import functools
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+NEG_INF = -2.0 ** 30  # large-but-safe additive mask (bf16/posit friendly)
+
+
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    acc_ref, m_ref, l_ref,
+    *,
+    scale: float,
+    causal: bool,
+    q_offset: int,
+    block_q: int,
+    block_k: int,
+    q_qfn, k_qfn, p_qfn, v_qfn,
+):
+    i = pl.program_id(2)  # q block
+    j = pl.program_id(3)  # k block
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # Causal: skip blocks strictly above the diagonal.
+    q_start = i * block_q + q_offset
+    k_start = j * block_k
+    needed = jnp.logical_or(
+        jnp.logical_not(causal), k_start <= q_start + block_q - 1
+    )
+
+    @pl.when(needed)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        if q_qfn is not None:
+            q = q_qfn(q)
+        if k_qfn is not None:
+            k = k_qfn(k)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+
+        if causal:
+            q_pos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_pos = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+
+        p = jnp.exp(s - m_new)
+        if p_qfn is not None:
+            p = p_qfn(p.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+
+        v = v_ref[0, 0]
+        if v_qfn is not None:
+            v = v_qfn(v)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def _naive_attention(q, k, v, scale, causal, q_offset, q_qfn, k_qfn,
+                     p_qfn, v_qfn):
+    """jnp reference of the kernel semantics — used for the backward pass
+    (recompute) and as the interpret-free correctness oracle.  Quantizers are
+    straight-through (stop_gradient residual trick)."""
+
+    def ste(fn, x):
+        if fn is None:
+            return x
+        return x + jax.lax.stop_gradient(fn(x) - x)
+
+    B, H, S, D = q.shape
+    _, KV, T, _ = k.shape
+    if KV != H:
+        k = jnp.repeat(k, H // KV, axis=1)
+        v = jnp.repeat(v, H // KV, axis=1)
+    q = ste(q_qfn, q)
+    k = ste(k_qfn, k)
+    s = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        q_pos = jnp.arange(S)[:, None] + q_offset
+        k_pos = jnp.arange(T)[None, :]
+        s = jnp.where((k_pos <= q_pos)[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    if p_qfn is not None:
+        p = ste(p_qfn, p.astype(jnp.bfloat16)).astype(jnp.float32)
+    v = ste(v_qfn, v)
+    return jnp.einsum("bhst,bhtd->bhsd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    causal: bool = True,
+    q_offset: int = 0,
+    q_qfn: Optional[Callable] = None,
+    k_qfn: Optional[Callable] = None,
+    p_qfn: Optional[Callable] = None,
+    v_qfn: Optional[Callable] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Causal flash attention with optional in-kernel quantization.
+
+    q: (B, H, S, D); k, v: (B, KV, T, D) with H % KV == 0.
+    ``q_offset`` is the absolute position of q[0] (decode with a prefix
+    cache).  On non-TPU backends the kernel runs in interpreter mode
+    automatically, keeping the CPU path alive.
+
+    Differentiable: the backward pass recomputes attention from q/k/v
+    (standard flash rematerialization) via the jnp reference path with
+    straight-through quantizers.
+    """
+    B, H, S, D = q.shape
+    _, KV, T, _ = k.shape
+    assert H % KV == 0, (H, KV)
+    group = H // KV
+
+    # q/k/v quantization is elementwise, so hoist it out of the kernel: XLA
+    # fuses a single pass per tensor, while in-kernel it would re-quantize
+    # each tile once per grid step (k/v: x num-q-blocks).  Only the
+    # probability quantizer must run inside (p never exists outside).
+    # Straight-through so gradients pass the (non-differentiable) rounding.
+    def _ste(fn, x):
+        return x + jax.lax.stop_gradient(fn(x) - x)
+
+    if q_qfn is not None:
+        q = _ste(q_qfn, q)
+        q_qfn = None
+    if k_qfn is not None:
+        k = _ste(k_qfn, k)
+        k_qfn = None
+    if v_qfn is not None:
+        v = _ste(v_qfn, v)
+        v_qfn = None
+
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if interpret is None:
+        # Respect an explicitly pinned default device (tests pin CPU even
+        # when a TPU plugin also registered).
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        interpret = platform != "tpu"
+
+    block_q = min(block_q, S)
+    block_k = min(block_k, T)
+    assert S % block_q == 0, (S, block_q)
+    assert T % block_k == 0, (T, block_k)
+
+    grid = (B, H, S // block_q, T // block_k)
+
+    kernel = functools.partial(
+        _attn_kernel,
+        scale=scale, causal=causal, q_offset=q_offset,
+        block_q=block_q, block_k=block_k,
+        q_qfn=q_qfn, k_qfn=k_qfn, p_qfn=p_qfn, v_qfn=v_qfn,
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, i, j, group=group: (b, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, i, j, group=group: (b, h // group, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, i, j: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def _fa(q, k, v):
+        return call(q, k, v)
+
+    def _fa_fwd(q, k, v):
+        return call(q, k, v), (q, k, v)
+
+    def _fa_bwd(res, g):
+        qr, kr, vr = res
+        _, vjp = jax.vjp(
+            lambda a, b, c: _naive_attention(
+                a, b, c, scale, causal, q_offset,
+                q_qfn, k_qfn, p_qfn, v_qfn,
+            ),
+            qr, kr, vr,
+        )
+        return vjp(g)
+
+    _fa.defvjp(_fa_fwd, _fa_bwd)
+    return _fa(q, k, v)

@@ -112,8 +112,6 @@ def _exact_pow2(e: jax.Array, dtype) -> jax.Array:
     return bits_f32(bits).astype(dtype)
 
 
-@partial(jax.jit, static_argnames=(
-    "axes", "block_size", "quant_max", "force_scale_power_of_two", "scale_qfn"))
 def calculate_mx_qparam(
     x: jax.Array,
     axes: Union[int, Tuple[int, ...]],

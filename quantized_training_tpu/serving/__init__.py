@@ -1,0 +1,27 @@
+"""LLM serving: quantized KV cache (KIVI-style two-tier) and generation."""
+
+from .kv_cache import (
+    KVCacheConfig,
+    QuantizedKVCache,
+    init_cache,
+    prefill_cache,
+    append_to_cache,
+    cache_kv,
+    residual_causal_mask,
+    pack_codes,
+    unpack_codes,
+)
+from .generate import generate
+
+__all__ = [
+    "KVCacheConfig",
+    "QuantizedKVCache",
+    "init_cache",
+    "prefill_cache",
+    "append_to_cache",
+    "cache_kv",
+    "residual_causal_mask",
+    "pack_codes",
+    "unpack_codes",
+    "generate",
+]

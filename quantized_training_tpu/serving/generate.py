@@ -1,0 +1,98 @@
+"""Autoregressive generation: prefill + jitted decode over the (optionally
+quantized) KV cache.
+
+Equivalent of the reference's greedy ``generate`` with exported-decode
+handoff (reference: llm_utils.py:43-112 and the KIVI-cache generate at
+llm_utils.py:501-596): prefill runs the model over the prompt and fills the
+cache (quantizing it when the model has a KIVI cache config); decode steps
+run one token at a time through a single jitted function.
+
+Sampling supports greedy, temperature, and top-k.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["generate"]
+
+
+def _sample(logits, rng, temperature: float, top_k: Optional[int]):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_k is not None:
+        top_vals, _ = jax.lax.top_k(logits, top_k)
+        cutoff = top_vals[..., -1:]
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def generate(
+    model,
+    variables,
+    input_ids: jax.Array,
+    max_new_tokens: int,
+    *,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+    eos_token_id: Optional[int] = None,
+) -> jax.Array:
+    """Generate ``max_new_tokens`` continuations for ``input_ids`` (B, S).
+
+    Works with both cache modes: full-precision (cfg.kv_cache is None) and
+    KIVI quantized (prefill is quantized into the main cache, new tokens go
+    to the fp residual).  Returns (B, S + max_new_tokens).
+    """
+    B, S = input_ids.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    kivi = getattr(model.config, "kv_cache", None) is not None
+    if kivi:
+        assert max_new_tokens <= model.config.kv_cache.max_decode, (
+            max_new_tokens, model.config.kv_cache.max_decode)
+
+    # Prefill: fills the cache, returns logits for the last prompt token.
+    logits, upd = model.apply(
+        variables, input_ids, use_cache=True, cache_index=0,
+        mutable=["cache"],
+    )
+    cache = upd["cache"]
+    rng, step_rng = jax.random.split(rng)
+    next_tok = _sample(logits[:, -1], step_rng, temperature, top_k)
+
+    @jax.jit
+    def decode_step(cache, tok, pos, rng):
+        logits, upd = model.apply(
+            {**variables, "cache": cache},
+            tok[:, None], use_cache=True, cache_index=pos,
+            mutable=["cache"],
+        )
+        rng, step_rng = jax.random.split(rng)
+        nxt = _sample(logits[:, -1], step_rng, temperature, top_k)
+        return upd["cache"], nxt, rng
+
+    tokens = [next_tok]
+    pos = S
+    for _ in range(max_new_tokens - 1):
+        cache, next_tok, rng = decode_step(
+            cache, tokens[-1], jnp.asarray(pos, jnp.int32), rng
+        )
+        tokens.append(next_tok)
+        pos += 1
+
+    out = jnp.stack(tokens, axis=1)
+    full = jnp.concatenate([input_ids, out], axis=1)
+    if eos_token_id is not None:
+        # Mask everything after the first EOS per row.
+        gen = full[:, S:]
+        is_eos = gen == eos_token_id
+        seen = jnp.cumsum(is_eos.astype(jnp.int32), axis=1)
+        keep = seen - is_eos.astype(jnp.int32) == 0
+        gen = jnp.where(keep, gen, eos_token_id)
+        full = jnp.concatenate([full[:, :S], gen], axis=1)
+    return full

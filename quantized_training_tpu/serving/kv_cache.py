@@ -1,0 +1,264 @@
+"""Quantized KV cache with a full-precision residual cache (KIVI-style).
+
+Functional equivalent of the reference's two-tier static cache (reference:
+llm_utils.py:295-499 ``TorchExportableModuleWithStaticCache`` and the KIVI
+attention at llm_utils.py:115-243): the prefill KV is quantized group-wise
+into a static main cache — K along the token axis (ax=-2), V along the
+feature axis (ax=-1) — while newly generated tokens go to a small
+full-precision residual cache; attention runs over the concatenation.
+
+TPU-native design: the cache is an explicit pytree of static-shape arrays
+(codes stored as int8 + per-group scale/zero-point in bf16), so the decode
+step jits once and the whole pytree shards over the mesh (heads on the model
+axis — see parallel/sharding.py).  Sub-byte packing (4x uint2 per byte) is a
+storage-layer concern handled by ``pack_codes``/``unpack_codes``.
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..qspec import QScheme, QuantizationSpec
+from ..quantize.fake_quant import _group_affine_qparams
+from ..quantize.ops import expand_scale
+from ..numerics.bitutils import clamp_keep_zero_sign
+
+__all__ = ["KVCacheConfig", "QuantizedKVCache", "init_cache", "prefill_cache",
+           "append_to_cache", "cache_kv", "pack_codes", "unpack_codes"]
+
+
+class KVCacheConfig(NamedTuple):
+    """Static cache geometry + quantization specs.
+
+    k_spec / v_spec default to the KIVI setting used by the reference tests
+    (test_codegen.py:536-586): uint2 group_wise_affine, K grouped along
+    tokens (ax=-2), V along features (ax=-1), block 32.
+    """
+
+    max_prefill: int
+    max_decode: int
+    k_spec: Optional[QuantizationSpec] = None
+    v_spec: Optional[QuantizationSpec] = None
+
+    @staticmethod
+    def kivi(max_prefill: int, max_decode: int,
+             k_spec: str = "uint2,qs=group_wise_affine,bs=32,ax=-2",
+             v_spec: str = "uint2,qs=group_wise_affine,bs=32,ax=-1"):
+        return KVCacheConfig(
+            max_prefill, max_decode,
+            _translate_spec_axes(QuantizationSpec.from_str(k_spec)),
+            _translate_spec_axes(QuantizationSpec.from_str(v_spec)),
+        )
+
+
+class QuantizedKVCache(NamedTuple):
+    """Per-layer cache state (a pytree; stack layers with jax.tree_map)."""
+
+    k_codes: jax.Array       # (B, P, KV, D) int8 (or bf16 when unquantized)
+    k_scale: jax.Array
+    k_zp: jax.Array
+    v_codes: jax.Array
+    v_scale: jax.Array
+    v_zp: jax.Array
+    k_res: jax.Array         # (B, R, KV, D) residual, full precision
+    v_res: jax.Array
+    main_len: jax.Array      # int32: valid tokens in the quantized cache
+    res_len: jax.Array       # int32: valid tokens in the residual cache
+
+
+# Cache spec axes follow the reference's (B, heads, tokens, dim) layout
+# (llm_utils.py KIVI: K ax=-2 groups along tokens, V ax=-1 along features);
+# our cache arrays are (B, tokens, heads, dim), so axes 1<->2 swap.
+_REF_TO_OURS_AXIS = {0: 0, 1: 2, 2: 1, 3: 3}
+
+
+def _translate_spec_axes(spec: QuantizationSpec) -> QuantizationSpec:
+    axes = spec.ch_axis if isinstance(spec.ch_axis, tuple) else (spec.ch_axis,)
+    ours = tuple(_REF_TO_OURS_AXIS[a + 4 if a < 0 else a] for a in axes)
+    return spec.replace(ch_axis=ours if len(ours) > 1 else ours[0])
+
+
+def _qparam_shape(shape, spec: QuantizationSpec):
+    """Shape of group-affine scale/zp for a (B, T, KV, D) tensor (spec axes
+    already translated to our layout)."""
+    axes = spec.ch_axis if isinstance(spec.ch_axis, tuple) else (spec.ch_axis,)
+    out = list(shape)
+    for ax in axes:
+        ax = ax + len(shape) if ax < 0 else ax
+        out[ax] = -(-shape[ax] // spec.block_size)
+    return tuple(out)
+
+
+def _code_dtype(spec: QuantizationSpec):
+    return jnp.int8 if spec.quant_min < 0 else jnp.uint8
+
+
+def _quantize_groupwise(x, spec: QuantizationSpec):
+    """Group-affine encode: returns (codes u/int8, scale, zp) in x's layout."""
+    sf, zp = _group_affine_qparams(x, spec)
+    sfe = expand_scale(sf, x.shape, spec.block_size)
+    zpe = expand_scale(zp, x.shape, spec.block_size)
+    codes = clamp_keep_zero_sign(
+        jnp.round(x.astype(jnp.float32) / sfe.astype(jnp.float32)
+                  + zpe.astype(jnp.float32)),
+        spec.quant_min, spec.quant_max,
+    ).astype(_code_dtype(spec))
+    return codes, sf.astype(jnp.bfloat16), zp.astype(jnp.bfloat16)
+
+
+def _dequantize_groupwise(codes, scale, zp, spec: QuantizationSpec, dtype):
+    sfe = expand_scale(scale.astype(jnp.float32), codes.shape, spec.block_size)
+    zpe = expand_scale(zp.astype(jnp.float32), codes.shape, spec.block_size)
+    return ((codes.astype(jnp.float32) - zpe) * sfe).astype(dtype)
+
+
+def init_cache(
+    cfg: KVCacheConfig, batch: int, kv_heads: int, head_dim: int,
+    dtype=jnp.bfloat16,
+) -> QuantizedKVCache:
+    P, R = cfg.max_prefill, cfg.max_decode
+    shape = (batch, P, kv_heads, head_dim)
+    if cfg.k_spec is not None:
+        k_codes = jnp.zeros(shape, _code_dtype(cfg.k_spec))
+        k_scale = jnp.ones(_qparam_shape(shape, cfg.k_spec), jnp.bfloat16)
+        k_zp = jnp.zeros_like(k_scale)
+    else:
+        k_codes = jnp.zeros(shape, dtype)
+        k_scale = jnp.ones((1,), jnp.bfloat16)
+        k_zp = jnp.zeros((1,), jnp.bfloat16)
+    if cfg.v_spec is not None:
+        v_codes = jnp.zeros(shape, _code_dtype(cfg.v_spec))
+        v_scale = jnp.ones(_qparam_shape(shape, cfg.v_spec), jnp.bfloat16)
+        v_zp = jnp.zeros_like(v_scale)
+    else:
+        v_codes = jnp.zeros(shape, dtype)
+        v_scale = jnp.ones((1,), jnp.bfloat16)
+        v_zp = jnp.zeros((1,), jnp.bfloat16)
+    return QuantizedKVCache(
+        k_codes, k_scale, k_zp, v_codes, v_scale, v_zp,
+        k_res=jnp.zeros((batch, R, kv_heads, head_dim), dtype),
+        v_res=jnp.zeros((batch, R, kv_heads, head_dim), dtype),
+        main_len=jnp.zeros((), jnp.int32),
+        res_len=jnp.zeros((), jnp.int32),
+    )
+
+
+def prefill_cache(
+    cache: QuantizedKVCache, cfg: KVCacheConfig,
+    k: jax.Array, v: jax.Array,
+) -> QuantizedKVCache:
+    """Quantize the prefill K/V (B, S, KV, D) into the main cache.
+
+    S must equal cfg.max_prefill for exact reference parity of the group
+    boundaries (the reference exports the graph at a fixed prefill length);
+    shorter prefills pad with zeros — harmless because attention masks the
+    empty slots.
+    """
+    B, S, KV, D = k.shape
+    P = cfg.max_prefill
+    assert S <= P, (S, P)
+    if S < P:
+        pad = [(0, 0), (0, P - S), (0, 0), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    if cfg.k_spec is not None:
+        k_codes, k_scale, k_zp = _quantize_groupwise(k, cfg.k_spec)
+    else:
+        k_codes, k_scale, k_zp = k, cache.k_scale, cache.k_zp
+    if cfg.v_spec is not None:
+        v_codes, v_scale, v_zp = _quantize_groupwise(v, cfg.v_spec)
+    else:
+        v_codes, v_scale, v_zp = v, cache.v_scale, cache.v_zp
+
+    return cache._replace(
+        k_codes=k_codes, k_scale=k_scale, k_zp=k_zp,
+        v_codes=v_codes, v_scale=v_scale, v_zp=v_zp,
+        main_len=jnp.asarray(S, jnp.int32),
+        res_len=jnp.zeros((), jnp.int32),
+    )
+
+
+def append_to_cache(
+    cache: QuantizedKVCache, k_new: jax.Array, v_new: jax.Array
+) -> QuantizedKVCache:
+    """Append decode-step K/V (B, 1, KV, D) to the full-precision residual."""
+    idx = cache.res_len
+    k_res = jax.lax.dynamic_update_slice(
+        cache.k_res, k_new, (0, idx, 0, 0))
+    v_res = jax.lax.dynamic_update_slice(
+        cache.v_res, v_new, (0, idx, 0, 0))
+    return cache._replace(
+        k_res=k_res, v_res=v_res, res_len=cache.res_len + k_new.shape[1]
+    )
+
+
+def cache_kv(
+    cache: QuantizedKVCache, cfg: KVCacheConfig, dtype=jnp.bfloat16
+) -> Tuple[jax.Array, jax.Array]:
+    """Materialized (K, V) = [dequant(main); residual] for attention.
+
+    Shapes are static: (B, max_prefill + max_decode, KV, D); invalid slots
+    must be masked by the caller (see residual_causal_mask).
+    """
+    if cfg.k_spec is not None:
+        k_main = _dequantize_groupwise(
+            cache.k_codes, cache.k_scale, cache.k_zp, cfg.k_spec, dtype)
+    else:
+        k_main = cache.k_codes.astype(dtype)
+    if cfg.v_spec is not None:
+        v_main = _dequantize_groupwise(
+            cache.v_codes, cache.v_scale, cache.v_zp, cfg.v_spec, dtype)
+    else:
+        v_main = cache.v_codes.astype(dtype)
+    k = jnp.concatenate([k_main, cache.k_res.astype(dtype)], axis=1)
+    v = jnp.concatenate([v_main, cache.v_res.astype(dtype)], axis=1)
+    return k, v
+
+
+def residual_causal_mask(
+    cfg: KVCacheConfig, batch: int, q_len: int,
+    main_len: jax.Array, res_len: jax.Array, dtype=jnp.float32,
+) -> jax.Array:
+    """Additive mask over [main; residual] slots for a decode query block
+    (reference: llm_utils.py:278-292): main slots < main_len visible,
+    residual slots < res_len + q_len visible causally."""
+    P, R = cfg.max_prefill, cfg.max_decode
+    kv_pos = jnp.arange(P + R)[None, :]
+    q_pos = jnp.arange(q_len)[:, None]
+    in_main = kv_pos < main_len
+    res_idx = kv_pos - P
+    in_res = jnp.logical_and(
+        kv_pos >= P, res_idx <= res_len + q_pos
+    )
+    allowed = jnp.logical_or(in_main, in_res)
+    mask_value = float(jnp.finfo(jnp.bfloat16).min)
+    mask = jnp.where(allowed, 0.0, mask_value).astype(dtype)
+    return jnp.broadcast_to(mask[None, None], (batch, 1, q_len, P + R))
+
+
+# ---------------------------------------------------------------------------
+# Sub-byte storage packing (uint2/uint4 codes -> bytes) for HBM footprint
+# ---------------------------------------------------------------------------
+
+def pack_codes(codes: jax.Array, bits: int) -> jax.Array:
+    """Pack intN codes (stored int8, last axis) into bytes: 8//bits per byte."""
+    assert bits in (1, 2, 4)
+    per = 8 // bits
+    *lead, last = codes.shape
+    assert last % per == 0
+    u = codes.astype(jnp.uint8).reshape(*lead, last // per, per)
+    shifts = (jnp.arange(per, dtype=jnp.uint8) * bits)
+    return jnp.sum(
+        (u & ((1 << bits) - 1)).astype(jnp.uint8) << shifts, axis=-1
+    ).astype(jnp.uint8)
+
+
+def unpack_codes(packed: jax.Array, bits: int) -> jax.Array:
+    """Inverse of pack_codes; returns int8 codes."""
+    per = 8 // bits
+    shifts = jnp.arange(per, dtype=jnp.uint8) * bits
+    u = (packed[..., None] >> shifts) & ((1 << bits) - 1)
+    *lead, last, _ = u.shape
+    return u.reshape(*lead, last * per).astype(jnp.int8)

@@ -1,0 +1,195 @@
+"""Serving-layer tests: quantized KV cache round trips, KIVI generate
+consistency, code packing, flash attention vs naive."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+from quantized_training_tpu.serving import (
+    KVCacheConfig, generate, init_cache, prefill_cache, append_to_cache,
+    cache_kv, pack_codes, unpack_codes,
+)
+
+
+class TestKVCache:
+    def test_groupwise_roundtrip_error(self):
+        cfg = KVCacheConfig.kivi(max_prefill=32, max_decode=8)
+        rng = np.random.default_rng(0)
+        B, S, KV, D = 2, 32, 2, 64
+        k = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        cache = init_cache(cfg, B, KV, D)
+        cache = prefill_cache(cache, cfg, k, v)
+        k2, v2 = cache_kv(cache, cfg)
+        # uint2 with 32-wide groups: coarse but bounded reconstruction
+        k_err = float(jnp.max(jnp.abs(k2[:, :S] - k)))
+        assert k_err < 2.5  # (max-min)/3 per group bound-ish
+        assert cache.k_codes.dtype == jnp.uint8
+        assert int(cache.k_codes.max()) <= 3 and int(cache.k_codes.min()) >= 0
+
+    def test_residual_append(self):
+        cfg = KVCacheConfig.kivi(max_prefill=16, max_decode=4)
+        B, KV, D = 1, 2, 32
+        cache = init_cache(cfg, B, KV, D)
+        k1 = jnp.ones((B, 1, KV, D), jnp.bfloat16)
+        cache = append_to_cache(cache, k1, k1 * 2)
+        cache = append_to_cache(cache, k1 * 3, k1 * 4)
+        assert int(cache.res_len) == 2
+        np.testing.assert_array_equal(
+            np.asarray(cache.k_res[:, 0].astype(jnp.float32)), 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(cache.k_res[:, 1].astype(jnp.float32)), 3.0)
+        # residual tokens come back exactly (full precision)
+        k_full, v_full = cache_kv(cache, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(k_full[:, 16].astype(jnp.float32)), 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(v_full[:, 17].astype(jnp.float32)), 4.0)
+
+    def test_unquantized_cache_config(self):
+        cfg = KVCacheConfig(max_prefill=8, max_decode=4)
+        B, KV, D = 1, 2, 16
+        k = jnp.asarray(np.random.default_rng(1).standard_normal((B, 8, KV, D)),
+                        jnp.bfloat16)
+        cache = prefill_cache(init_cache(cfg, B, KV, D), cfg, k, k)
+        k2, _ = cache_kv(cache, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(k2[:, :8].astype(jnp.float32)),
+            np.asarray(k.astype(jnp.float32)))
+
+
+class TestPacking:
+    @pytest.mark.parametrize("bits", [1, 2, 4])
+    def test_pack_roundtrip(self, bits):
+        rng = np.random.default_rng(2)
+        codes = jnp.asarray(
+            rng.integers(0, 2 ** bits, (3, 5, 16)), jnp.int8)
+        packed = pack_codes(codes, bits)
+        assert packed.shape == (3, 5, 16 * bits // 8)
+        out = unpack_codes(packed, bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+
+class TestGenerate:
+    def setup_method(self, _):
+        self.cfg_fp = LlamaConfig.tiny(max_position_embeddings=64)
+        self.ids = jnp.asarray(
+            np.random.default_rng(3).integers(0, 256, (2, 8)))
+
+    def test_greedy_fp_cache(self):
+        model = LlamaForCausalLM(self.cfg_fp, None)
+        vars_ = model.init(jax.random.PRNGKey(0), self.ids)
+        out = generate(model, vars_, self.ids, max_new_tokens=5)
+        assert out.shape == (2, 13)
+        # greedy must be deterministic
+        out2 = generate(model, vars_, self.ids, max_new_tokens=5)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_greedy_matches_no_cache_argmax(self):
+        """First generated token == argmax of the full forward's last logits."""
+        model = LlamaForCausalLM(self.cfg_fp, None)
+        vars_ = model.init(jax.random.PRNGKey(0), self.ids)
+        logits = model.apply(vars_, self.ids)
+        expected = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
+        out = generate(model, vars_, self.ids, max_new_tokens=1)
+        np.testing.assert_array_equal(np.asarray(out[:, -1]), expected)
+
+    def test_two_tier_mechanics_exact(self):
+        """Two-tier cache with *unquantized* main must reproduce the fp-cache
+        generate exactly — isolates the main/residual plumbing from
+        quantization error."""
+        kcfg = KVCacheConfig(max_prefill=8, max_decode=8)
+        cfg_kivi = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model_fp = LlamaForCausalLM(self.cfg_fp, None)
+        vars_ = model_fp.init(jax.random.PRNGKey(0), self.ids)
+        out_fp = generate(model_fp, vars_, self.ids, max_new_tokens=4)
+
+        model_kivi = LlamaForCausalLM(cfg_kivi, None)
+        vars_k = model_kivi.init(jax.random.PRNGKey(0), self.ids)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            vars_["params"], vars_k["params"])
+        out_kivi = generate(model_kivi, vars_k, self.ids, max_new_tokens=4)
+        np.testing.assert_array_equal(np.asarray(out_kivi), np.asarray(out_fp))
+
+    def test_kivi_uint8_logits_close(self):
+        """uint8-quantized cache decode logits track the fp-cache logits."""
+        kcfg = KVCacheConfig.kivi(
+            max_prefill=8, max_decode=8,
+            k_spec="uint8,qs=group_wise_affine,bs=16,ax=-2",
+            v_spec="uint8,qs=group_wise_affine,bs=16,ax=-1",
+        )
+        cfg_kivi = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model_fp = LlamaForCausalLM(self.cfg_fp, None)
+        vars_ = model_fp.init(jax.random.PRNGKey(0), self.ids)
+        model_kivi = LlamaForCausalLM(cfg_kivi, None)
+
+        tok = self.ids[:, :1] * 0 + 5
+        # prefill both, decode one step, compare logits
+        _, upd_fp = model_fp.apply(vars_, self.ids, use_cache=True,
+                                   cache_index=0, mutable=["cache"])
+        lg_fp, _ = model_fp.apply(
+            {**vars_, "cache": upd_fp["cache"]}, tok, use_cache=True,
+            cache_index=8, mutable=["cache"])
+        _, upd_k = model_kivi.apply(vars_, self.ids, use_cache=True,
+                                    cache_index=0, mutable=["cache"])
+        lg_k, _ = model_kivi.apply(
+            {**vars_, "cache": upd_k["cache"]}, tok, use_cache=True,
+            cache_index=8, mutable=["cache"])
+        a, b = np.asarray(lg_fp).ravel(), np.asarray(lg_k).ravel()
+        assert np.corrcoef(a, b)[0, 1] > 0.99
+
+    def test_kivi_uint2_generates_finite(self):
+        kcfg = KVCacheConfig.kivi(max_prefill=8, max_decode=8)
+        cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model = LlamaForCausalLM(cfg, None)
+        vars_ = model.init(jax.random.PRNGKey(0), self.ids)
+        out = generate(model, vars_, self.ids, max_new_tokens=4)
+        assert out.shape == (2, 12)
+
+    def test_sampling_temperature(self):
+        model = LlamaForCausalLM(self.cfg_fp, None)
+        vars_ = model.init(jax.random.PRNGKey(0), self.ids)
+        out1 = generate(model, vars_, self.ids, max_new_tokens=4,
+                        temperature=1.0, rng=jax.random.PRNGKey(1))
+        out2 = generate(model, vars_, self.ids, max_new_tokens=4,
+                        temperature=1.0, rng=jax.random.PRNGKey(2))
+        assert not np.array_equal(np.asarray(out1), np.asarray(out2))
+
+
+class TestFlashInModel:
+    def test_flash_matches_naive_model(self):
+        cfg_naive = LlamaConfig.tiny(
+            hidden_size=512, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128)
+        cfg_flash = LlamaConfig.tiny(
+            hidden_size=512, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, use_flash_attention=True)
+        ids = jnp.asarray(np.random.default_rng(4).integers(0, 256, (1, 128)))
+        m1 = LlamaForCausalLM(cfg_naive, None)
+        vars_ = m1.init(jax.random.PRNGKey(0), ids)
+        out1 = m1.apply(vars_, ids)
+        m2 = LlamaForCausalLM(cfg_flash, None)
+        out2 = m2.apply(vars_, ids)
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(out2), rtol=3e-2, atol=3e-2)
+
+    def test_flash_grad_flows(self):
+        cfg_flash = LlamaConfig.tiny(
+            hidden_size=512, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, use_flash_attention=True)
+        ids = jnp.asarray(np.random.default_rng(5).integers(0, 256, (1, 128)))
+        m = LlamaForCausalLM(cfg_flash, None)
+        vars_ = m.init(jax.random.PRNGKey(0), ids)
+
+        def loss(p):
+            return jnp.mean(jnp.square(m.apply({"params": p}, ids)))
+
+        g = jax.grad(loss)(vars_["params"])
+        total = sum(float(jnp.sum(jnp.abs(x)))
+                    for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
