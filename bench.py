@@ -32,6 +32,7 @@ def build(quantized: bool):
         num_attention_heads=16,
         num_key_value_heads=16,
         max_position_embeddings=1024,
+        use_flash_attention=True,
     )
     qc = None
     if quantized:

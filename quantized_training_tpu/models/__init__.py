@@ -13,6 +13,20 @@ from .layers import (
     bwd_quantize,
 )
 from .llama import LlamaConfig, LlamaForCausalLM, LlamaModel, causal_mask
+from .bert import (
+    BertConfig,
+    BertModel,
+    BertForQuestionAnswering,
+    BertForSequenceClassification,
+    BertForMaskedLM,
+)
+from .mobilebert import (
+    MobileBertConfig,
+    MobileBertModel,
+    MobileBertForQuestionAnswering,
+    MobileBertForSequenceClassification,
+)
+from . import hf_loader
 
 __all__ = [
     "FakeQuant",
@@ -29,4 +43,14 @@ __all__ = [
     "LlamaForCausalLM",
     "LlamaModel",
     "causal_mask",
+    "BertConfig",
+    "BertModel",
+    "BertForQuestionAnswering",
+    "BertForSequenceClassification",
+    "BertForMaskedLM",
+    "MobileBertConfig",
+    "MobileBertModel",
+    "MobileBertForQuestionAnswering",
+    "MobileBertForSequenceClassification",
+    "hf_loader",
 ]

@@ -1,0 +1,145 @@
+"""Model-implementation parity vs HuggingFace transformers (torch, CPU).
+
+Random-initialized HF models are built from configs (no downloads), their
+state dicts converted with models/hf_loader.py, and outputs compared — this
+pins our flax implementations to the reference model family semantics
+(the reference framework runs on exactly these HF models)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+from quantized_training_tpu.models.bert import (
+    BertConfig, BertForQuestionAnswering, BertForSequenceClassification,
+)
+from quantized_training_tpu.models.mobilebert import (
+    MobileBertConfig, MobileBertForQuestionAnswering,
+)
+from quantized_training_tpu.models.hf_loader import (
+    convert_bert, convert_llama, convert_mobilebert,
+)
+
+
+def assert_close(ours, theirs, rtol=2e-2, atol=2e-2, label=""):
+    a = np.asarray(ours, dtype=np.float32)
+    b = theirs.detach().float().numpy()
+    np.testing.assert_allclose(a, b, rtol=rtol, atol=atol, err_msg=label)
+
+
+class TestLlamaParity:
+    def test_forward_matches_hf(self):
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-5, attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            dtype="float32",
+        )
+        params = convert_llama(hf.state_dict(), cfg.num_hidden_layers)
+        model = LlamaForCausalLM(cfg, None)
+
+        ids = np.random.default_rng(0).integers(0, 128, (2, 10))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits
+        ours = model.apply({"params": params}, jnp.asarray(ids))
+        assert_close(ours, ref, label="llama logits")
+
+
+class TestBertParity:
+    def test_qa_matches_hf(self):
+        hf_cfg = transformers.BertConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=64, hidden_act="gelu",
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf = transformers.BertForQuestionAnswering(hf_cfg).eval()
+
+        cfg = BertConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=64, dtype="float32",
+        )
+        params = convert_bert(hf.state_dict(), cfg.num_hidden_layers)
+        model = BertForQuestionAnswering(cfg, None)
+
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, 128, (2, 12))
+        mask = np.ones((2, 12), np.int32)
+        mask[1, 8:] = 0
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids), attention_mask=torch.tensor(mask))
+        start, end = model.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+        assert_close(start, ref.start_logits, label="start")
+        assert_close(end, ref.end_logits, label="end")
+
+    def test_classifier_matches_hf(self):
+        hf_cfg = transformers.BertConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=64, num_labels=3,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(1)
+        hf = transformers.BertForSequenceClassification(hf_cfg).eval()
+        cfg = BertConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=64, num_labels=3, dtype="float32",
+        )
+        params = convert_bert(hf.state_dict(), cfg.num_hidden_layers)
+        model = BertForSequenceClassification(cfg, None)
+        ids = np.random.default_rng(2).integers(0, 128, (2, 12))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits
+        ours = model.apply({"params": params}, jnp.asarray(ids))
+        assert_close(ours, ref, label="cls logits")
+
+
+class TestMobileBertParity:
+    def test_qa_matches_hf(self):
+        hf_cfg = transformers.MobileBertConfig(
+            vocab_size=128, hidden_size=64, embedding_size=16,
+            intra_bottleneck_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            num_feedforward_networks=2, max_position_embeddings=64,
+            normalization_type="no_norm", hidden_act="relu",
+            trigram_input=True, use_bottleneck=True,
+            key_query_shared_bottleneck=True,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf = transformers.MobileBertForQuestionAnswering(hf_cfg).eval()
+
+        cfg = MobileBertConfig.test_tiny(dtype="float32", vocab_size=128)
+        params = convert_mobilebert(
+            hf.state_dict(), cfg.num_hidden_layers,
+            cfg.num_feedforward_networks)
+        model = MobileBertForQuestionAnswering(cfg, None)
+
+        rng = np.random.default_rng(3)
+        ids = rng.integers(0, 128, (2, 12))
+        mask = np.ones((2, 12), np.int32)
+        mask[0, 10:] = 0
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids), attention_mask=torch.tensor(mask))
+        start, end = model.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+        assert_close(start, ref.start_logits, label="start")
+        assert_close(end, ref.end_logits, label="end")
