@@ -59,12 +59,23 @@ class FakeQuant(nn.Module):
 
     spec: Optional[QuantizationSpec]
     quantize: bool = True
+    record_histogram: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         spec = self.spec
         if spec is None:
             return x
+
+        if self.record_histogram:
+            # Exponent histogram: 254 bins over floor(log2|x|) in [-126, 127]
+            # (reference: fake_quantize.py:348-350); zeros excluded.
+            hist = self.variable(
+                "quant_histogram", "hist",
+                lambda: jnp.zeros((254,), jnp.float32))
+            if self.is_mutable_collection("quant_histogram"):
+                from ..utils.histogram import exponent_histogram
+                hist.value = hist.value + exponent_histogram(x)
 
         stateless = spec.qscheme in (
             None, QScheme.MICROSCALING, QScheme.GROUP_WISE_AFFINE
@@ -127,7 +138,8 @@ class QuantMixin:
         path = self._path_str
         spec = cfg.activation_spec(path, op, category, index)
         if spec is not None:
-            x = FakeQuant(spec, name=f"{hook}_{index}")(x)
+            x = FakeQuant(spec, record_histogram=cfg.record_histogram,
+                          name=f"{hook}_{index}")(x)
         err = cfg.error_spec(path, op, category, index)
         if err is not None:
             x = bwd_quantize(x, err)
@@ -168,7 +180,8 @@ class QuantMixin:
         spec = cfg.weight_spec(self._path_str, op)
         if spec is None:
             return w
-        return FakeQuant(spec, name="weight_fake_quant")(w)
+        return FakeQuant(spec, record_histogram=cfg.record_histogram,
+                         name="weight_fake_quant")(w)
 
 
 def bwd_quantize(x: jax.Array, spec: QuantizationSpec) -> jax.Array:
@@ -224,6 +237,24 @@ class QDense(nn.Module, QuantMixin):
         )
         kernel = kernel.astype(self.dtype)
         x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
+
+        cfg = self._qconfig()
+        if cfg is not None and cfg.lora_matches(self._path_str):
+            # QAT LoRA (reference modules/qat/lora.py:34-55): fake-quantize
+            # A and B, then the merged weight, every step.
+            rank = cfg.lora_rank
+            lora_a = self.param(
+                "lora_a", nn.initializers.normal(0.02),
+                (x.shape[-1], rank), self.param_dtype).astype(self.dtype)
+            lora_b = self.param(
+                "lora_b", nn.initializers.zeros_init(),
+                (rank, self.features), self.param_dtype).astype(self.dtype)
+            wspec = cfg.weight_spec(self._path_str)
+            if wspec is not None:
+                lora_a = FakeQuant(wspec, name="lora_a_fake_quant")(lora_a)
+                lora_b = FakeQuant(wspec, name="lora_b_fake_quant")(lora_b)
+            kernel = kernel + (cfg.lora_alpha / rank) * (lora_a @ lora_b)
+
         kernel = self.weight_fake_quant(kernel)
         y = jnp.dot(x.astype(self.dtype), kernel,
                     preferred_element_type=jnp.float32)

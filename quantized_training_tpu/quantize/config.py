@@ -138,6 +138,14 @@ class QuantConfig:
     forward_categories: Tuple[OpCategory, ...] = tuple(OpCategory)
     backward_categories: Tuple[OpCategory, ...] = ()
     op_fusion: Tuple[str, ...] = ()
+    # LoRA adaptation (reference: peft wrapping + qat.LoraLinear semantics,
+    # modules/qat/lora.py:34-55): dense layers whose path matches a target
+    # regex grow lora_a/lora_b params, fake-quantized with the weight spec.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: Tuple[str, ...] = ()
+    # Record per-observer exponent histograms (reference --record_histogram).
+    record_histogram: bool = False
 
     # ---- builder API (mirrors set_global / set_module_name / ...) ----
     def set_global(self, qconfig: QConfig) -> "QuantConfig":
@@ -172,6 +180,19 @@ class QuantConfig:
 
     def with_op_fusion(self, names: Sequence[str]) -> "QuantConfig":
         return replace(self, op_fusion=tuple(names or ()))
+
+    def with_lora(self, rank: int, alpha: float = 16.0,
+                  targets: Sequence[str] = (".*",)) -> "QuantConfig":
+        return replace(self, lora_rank=rank, lora_alpha=alpha,
+                       lora_targets=tuple(targets))
+
+    def with_histograms(self, on: bool = True) -> "QuantConfig":
+        return replace(self, record_histogram=on)
+
+    def lora_matches(self, path: str) -> bool:
+        return self.lora_rank > 0 and any(
+            re.search(t, path) for t in self.lora_targets
+        )
 
     # ---- resolution ----
     def resolve(

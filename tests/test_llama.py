@@ -6,6 +6,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+import flax
 
 from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
 from quantized_training_tpu.quantize import QConfig, QuantConfig
@@ -111,7 +112,7 @@ class TestForward:
         model = make_model(cfgq)
         vars_ = model.init(jax.random.PRNGKey(0), ids)
         qs = vars_.get("quant_state", {})
-        flat = jax.traverse_util.flatten_dict(qs) if qs else {}
+        flat = flax.traverse_util.flatten_dict(qs) if qs else {}
         assert not any("lm_head" in "/".join(map(str, k)) for k in flat)
 
 
