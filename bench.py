@@ -109,7 +109,8 @@ def main():
 
     qmodel, cfg = build(quantized=True)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)))
-    qvars = qmodel.init(jax.random.PRNGKey(0), ids)
+    # jit the init: remote backends pay ~30ms dispatch per op otherwise
+    qvars = jax.jit(qmodel.init)(jax.random.PRNGKey(0), ids)
     qvars = prequantize_weights(qvars)
     # weight rounding is folded offline; runtime quantizes activations only
     from quantized_training_tpu.quantize import QConfig, QuantConfig

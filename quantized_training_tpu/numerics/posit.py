@@ -160,10 +160,16 @@ def quantize_to_posit_positive(
     raw = run + es + 25 - nbits
     s2 = jnp.clip(raw, 0, 23) + jnp.clip(raw - 23, 0, es)
 
+    # A single variable-amount shift builds the rounding quantum; every other
+    # quantity derives arithmetically (variable-shift ops are the expensive
+    # lowering case for the Mosaic vector unit).
+    q = jnp.left_shift(jnp.ones_like(bits), s2)   # 2^s2
+    q_mask = q - 1
+
     # Posit truncation anchors the exponent grid at scale 0; the f32 field is
     # biased by 127.  Work modulo 2^s2: subtract the bias's low bits (zero in
     # the common fraction-rounding case s2 <= 23), round, re-add.
-    r = (127 << 23) & low_bits_mask(s2, 30)
+    r = (127 << 23) & q_mask
     m = bits - r
 
     # Round-to-nearest-even at position s2.  The tie ("even") bit is the
@@ -174,10 +180,10 @@ def quantize_to_posit_positive(
     lsb = jnp.where(
         s2 >= 23 + es,
         (e < 0).astype(bits.dtype),
-        jnp.right_shift(bits - (127 << 23), s2) & 1,
+        (((bits - (127 << 23)) & q) != 0).astype(bits.dtype),
     )
-    half_minus_1 = mask_from_shift(s2 - 1) - 1
-    rounded = (m + half_minus_1 + lsb) & keep_high_bits_mask(s2, 30)
+    half_minus_1 = (q >> 1) - 1  # constant-amount shift
+    rounded = (m + half_minus_1 + lsb) & jnp.bitwise_not(q_mask)
     out = jnp.minimum(bits_f32(rounded + r), maxpos)
 
     # Below this magnitude the nearest posit is zero (includes x == 0).
