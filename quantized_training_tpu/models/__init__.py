@@ -26,6 +26,7 @@ from .mobilebert import (
     MobileBertForQuestionAnswering,
     MobileBertForSequenceClassification,
 )
+from .gpt2 import GPT2Config, GPT2LMHeadModel
 from . import hf_loader
 
 __all__ = [
@@ -52,5 +53,7 @@ __all__ = [
     "MobileBertModel",
     "MobileBertForQuestionAnswering",
     "MobileBertForSequenceClassification",
+    "GPT2Config",
+    "GPT2LMHeadModel",
     "hf_loader",
 ]

@@ -143,3 +143,24 @@ class TestMobileBertParity:
             {"params": params}, jnp.asarray(ids), jnp.asarray(mask))
         assert_close(start, ref.start_logits, label="start")
         assert_close(end, ref.end_logits, label="end")
+
+
+class TestGPT2Parity:
+    def test_lm_matches_hf(self):
+        from quantized_training_tpu.models.gpt2 import (
+            GPT2Config, GPT2LMHeadModel, convert_gpt2,
+        )
+        hf_cfg = transformers.GPT2Config(
+            vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf = transformers.GPT2LMHeadModel(hf_cfg).eval()
+        cfg = GPT2Config.tiny(vocab_size=128, dtype="float32")
+        params = convert_gpt2(hf.state_dict(), cfg.n_layer)
+        model = GPT2LMHeadModel(cfg, None)
+        ids = np.random.default_rng(4).integers(0, 128, (2, 10))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits
+        ours = model.apply({"params": params}, jnp.asarray(ids))
+        assert_close(ours, ref, label="gpt2 logits")
