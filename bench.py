@@ -65,7 +65,7 @@ def prequantize_weights(variables):
     return {**variables, "params": walk(variables["params"])}
 
 
-def measure(model, variables, ids, iters=8, repeats=3):
+def measure(model, variables, ids, iters=4, repeats=3):
     """Tokens/s with the iteration loop *on device* (lax.fori_loop inside one
     jit) and a scalar fetch: remote backends have large per-dispatch latency
     and lazy block_until_ready, so host-side loops measure RPC, not compute.
@@ -104,6 +104,7 @@ def measure(model, variables, ids, iters=8, repeats=3):
 
 
 def main():
+    # NOTE: timings require exclusive use of the chip - run nothing else.
     batch, seq = 4, 1024
     rng = np.random.default_rng(0)
 
@@ -119,9 +120,11 @@ def main():
     ).with_fusion(forward="gemm")
     from quantized_training_tpu.models import LlamaForCausalLM
     qmodel = LlamaForCausalLM(cfg, act_only)
+    print("measuring quantized...", file=sys.stderr, flush=True)
     q_tps = measure(qmodel, {"params": qvars["params"]}, ids)
 
     fmodel, _ = build(quantized=False)
+    print("measuring bf16 baseline...", file=sys.stderr, flush=True)
     f_tps = measure(fmodel, {"params": qvars["params"]}, ids)
 
     print(json.dumps({

@@ -158,9 +158,12 @@ class BertEmbeddings(nn.Module, QuantMixin):
         pos = nn.Embed(cfg.max_position_embeddings + cfg.position_offset,
                        cfg.hidden_size, dtype=dtype,
                        param_dtype=jnp.float32, name="position_embeddings")
-        tok = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=dtype,
-                       param_dtype=jnp.float32, name="token_type_embeddings")
-        emb = word(input_ids) + pos(position_ids) + tok(token_type_ids)
+        emb = word(input_ids) + pos(position_ids)
+        if cfg.type_vocab_size > 0:
+            tok = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=dtype,
+                           param_dtype=jnp.float32,
+                           name="token_type_embeddings")
+            emb = emb + tok(token_type_ids)
         return QLayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
                           qconfig=self.qconfig, name="layernorm")(emb)
 

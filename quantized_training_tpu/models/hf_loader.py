@@ -20,6 +20,7 @@ __all__ = [
     "load_state_dict_dir",
     "convert_llama",
     "convert_bert",
+    "convert_distilbert",
     "convert_mobilebert",
 ]
 
@@ -181,6 +182,36 @@ def convert_mobilebert(state: Dict, num_layers: int,
                f"{hf}.output.bottleneck.LayerNorm")
 
     for head in ("qa_outputs", "classifier"):
+        if f"{head}.weight" in state:
+            _dense(p, head, state, head)
+    return p
+
+
+def convert_distilbert(state: Dict, num_layers: int) -> Dict:
+    """HF DistilBertFor* state dict -> BertFor* params (DistilBERT is our
+    BertModel with type_vocab_size=0; HF names differ layer-wise)."""
+    p: Dict = {}
+    emb = "distilbert.embeddings"
+    _embed(p, "bert/embeddings/word_embeddings", state, f"{emb}.word_embeddings")
+    _embed(p, "bert/embeddings/position_embeddings", state,
+           f"{emb}.position_embeddings")
+    _norm_(p, "bert/embeddings/layernorm", state, f"{emb}.LayerNorm")
+
+    for i in range(num_layers):
+        hf = f"distilbert.transformer.layer.{i}"
+        ours = f"bert/layer_{i}"
+        _dense(p, f"{ours}/attention_self/query", state, f"{hf}.attention.q_lin")
+        _dense(p, f"{ours}/attention_self/key", state, f"{hf}.attention.k_lin")
+        _dense(p, f"{ours}/attention_self/value", state, f"{hf}.attention.v_lin")
+        _dense(p, f"{ours}/attention_output_dense", state,
+               f"{hf}.attention.out_lin")
+        _norm_(p, f"{ours}/attention_output_layernorm", state,
+               f"{hf}.sa_layer_norm")
+        _dense(p, f"{ours}/intermediate_dense", state, f"{hf}.ffn.lin1")
+        _dense(p, f"{ours}/output_dense", state, f"{hf}.ffn.lin2")
+        _norm_(p, f"{ours}/output_layernorm", state, f"{hf}.output_layer_norm")
+
+    for head in ("qa_outputs", "classifier", "pre_classifier"):
         if f"{head}.weight" in state:
             _dense(p, head, state, head)
     return p

@@ -173,6 +173,35 @@ class QuantMixin:
     def quant_norm_input(self, x: jax.Array, op: str = "layer_norm") -> jax.Array:
         return self.quant_input(x, op, OpCategory.LAYERNORM, 0)
 
+    def _shared_input_quant(self, x: jax.Array, children: Tuple[str, ...],
+                            hook: str):
+        """Quantize an input shared by several child dense layers once.
+
+        Returns (quantized_x, True) when every child resolves the same
+        direct-rounding spec with no error quantization (the rounded tensor
+        is identical at each site, so one pass suffices); None otherwise —
+        stateful schemes keep per-site observers, and per-branch gradient
+        quantization must stay at each site because branch cotangents are
+        quantized before they sum.
+        """
+        cfg = self._qconfig()
+        if cfg is None:
+            return None
+        base = self._path_str
+        specs, errs = [], []
+        for child in children:
+            path = f"{base}.{child}" if base else child
+            specs.append(cfg.activation_spec(path, "linear", OpCategory.GEMM, 0))
+            errs.append(cfg.error_spec(path, "linear", OpCategory.GEMM, 0))
+        spec = specs[0]
+        if (spec is None or any(s != spec for s in specs)
+                or any(e is not None for e in errs)
+                or spec.qscheme is not None
+                or spec.outlier_threshold is not None):
+            return None
+        return FakeQuant(spec, record_histogram=cfg.record_histogram,
+                         name=f"{hook}_0")(x), True
+
     def weight_fake_quant(self, w: jax.Array, op: str = "linear") -> jax.Array:
         cfg = self._qconfig()
         if cfg is None:
@@ -228,6 +257,9 @@ class QDense(nn.Module, QuantMixin):
     qconfig: Optional[QuantConfig] = None
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros_init()
+    # The caller already quantized this layer's input at a shared site
+    # (e.g. one rounding for q/k/v projections of the same hidden state).
+    skip_input_quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -236,7 +268,8 @@ class QDense(nn.Module, QuantMixin):
             self.param_dtype,
         )
         kernel = kernel.astype(self.dtype)
-        x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
+        if not self.skip_input_quant:
+            x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
 
         cfg = self._qconfig()
         if cfg is not None and cfg.lora_matches(self._path_str):

@@ -114,12 +114,19 @@ class LlamaAttention(nn.Module, QuantMixin):
         B, S, _ = hidden.shape
         H, KV, D = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
 
-        dense = lambda feat, name: QDense(
-            feat, use_bias=False, dtype=dtype, qconfig=self.qconfig, name=name
+        dense = lambda feat, name, skip=False: QDense(
+            feat, use_bias=False, dtype=dtype, qconfig=self.qconfig,
+            skip_input_quant=skip, name=name
         )
-        q = dense(H * D, "q_proj")(hidden).reshape(B, S, H, D)
-        k = dense(KV * D, "k_proj")(hidden).reshape(B, S, KV, D)
-        v = dense(KV * D, "v_proj")(hidden).reshape(B, S, KV, D)
+        # One rounding of the shared input feeds all three projections when
+        # their specs agree (saves 2 full-tensor quantize passes per layer;
+        # identical values — the sites would round the same tensor).
+        shared = self._shared_input_quant(
+            hidden, ("q_proj", "k_proj", "v_proj"), "qkv_pre_process")
+        hidden_qkv, skip = shared if shared else (hidden, False)
+        q = dense(H * D, "q_proj", skip)(hidden_qkv).reshape(B, S, H, D)
+        k = dense(KV * D, "k_proj", skip)(hidden_qkv).reshape(B, S, KV, D)
+        v = dense(KV * D, "v_proj", skip)(hidden_qkv).reshape(B, S, KV, D)
 
         cos, sin = rope_cos_sin(positions, D, cfg.rope_theta)
         q = apply_rope(q, cos, sin)
@@ -283,11 +290,15 @@ class LlamaMLP(nn.Module, QuantMixin):
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
-        dense = lambda feat, name: QDense(
-            feat, use_bias=False, dtype=dtype, qconfig=self.qconfig, name=name
+        dense = lambda feat, name, skip=False: QDense(
+            feat, use_bias=False, dtype=dtype, qconfig=self.qconfig,
+            skip_input_quant=skip, name=name
         )
-        gate = dense(cfg.intermediate_size, "gate_proj")(x)
-        up = dense(cfg.intermediate_size, "up_proj")(x)
+        shared = self._shared_input_quant(
+            x, ("gate_proj", "up_proj"), "gateup_pre_process")
+        x, skip = shared if shared else (x, False)
+        gate = dense(cfg.intermediate_size, "gate_proj", skip)(x)
+        up = dense(cfg.intermediate_size, "up_proj", skip)(x)
         gate = self.quant_activation_input(gate, "silu")
         act = nn.silu(gate.astype(jnp.float32)).astype(jnp.dtype(cfg.dtype))
         # gate*up product is a scaling-category site.
@@ -371,15 +382,17 @@ class LlamaModel(nn.Module, QuantMixin):
                         main_len=jnp.asarray(kcfg.max_prefill, jnp.int32),
                         res_len=jnp.asarray(pos, jnp.int32) - kcfg.max_prefill,
                     )
-            else:
-                kv_len = cfg.max_position_embeddings if use_cache else S
+            elif use_cache:
+                kv_len = cfg.max_position_embeddings
                 offset = cache_index if cache_index is not None else 0
                 attention_mask = causal_mask(B, S, kv_len, offset)
-                if use_cache:
-                    # Also mask not-yet-written cache slots beyond current pos.
-                    kv_pos = jnp.arange(kv_len)[None, None, None, :]
-                    valid = kv_pos <= (offset + S - 1)
-                    attention_mask = jnp.where(valid, attention_mask, MASK_VALUE)
+                # Also mask not-yet-written cache slots beyond current pos.
+                kv_pos = jnp.arange(kv_len)[None, None, None, :]
+                valid = kv_pos <= (offset + S - 1)
+                attention_mask = jnp.where(valid, attention_mask, MASK_VALUE)
+            # else: leave None — attention builds its own causal mask on the
+            # naive path, and a None mask is what makes the flash kernel
+            # eligible (causality is fused into the kernel).
 
         for i in range(cfg.num_hidden_layers):
             hidden = LlamaDecoderLayer(

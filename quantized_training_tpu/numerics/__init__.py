@@ -7,7 +7,12 @@ executable specification: tests enumerate all bf16 values and assert the
 direct quantizers agree with the reference framework bit-for-bit.
 """
 
-from .posit import quantize_to_posit, quantize_to_posit_positive, posit_max_value
+from .posit import (
+    quantize_to_posit,
+    quantize_to_posit_positive,
+    quantize_to_posit_fast,
+    posit_max_value,
+)
 from .fp8 import (
     quantize_to_fp8_e4m3,
     quantize_to_fp8_e5m2,
@@ -37,6 +42,7 @@ from .mx import (
 __all__ = [
     "quantize_to_posit",
     "quantize_to_posit_positive",
+    "quantize_to_posit_fast",
     "posit_max_value",
     "quantize_to_fp8_e4m3",
     "quantize_to_fp8_e5m2",

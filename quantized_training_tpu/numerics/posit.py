@@ -28,7 +28,8 @@ from .bitutils import (
     shl,
 )
 
-__all__ = ["quantize_to_posit", "quantize_to_posit_positive", "posit_max_value"]
+__all__ = ["quantize_to_posit", "quantize_to_posit_positive",
+           "quantize_to_posit_fast", "posit_max_value"]
 
 
 def posit_max_value(nbits: int, es: int) -> float:
@@ -189,4 +190,48 @@ def quantize_to_posit_positive(
     # Below this magnitude the nearest posit is zero (includes x == 0).
     threshold = math.pow(2.0, math.floor(-(nbits - 1) * (1 << es) + 2 ** (es - 1)))
     out = jnp.where(xf0 < threshold, 0.0, out)
+    return out.astype(x.dtype)
+
+
+def quantize_to_posit_fast(
+    x: jax.Array, nbits: int = 8, es: int = 1
+) -> jax.Array:
+    """Production posit rounding: the single-variable-shift integer-RNE
+    pipeline of :func:`quantize_to_posit_positive` extended to signed and
+    non-finite inputs (sign bit rides outside the magnitude rounding;
+    non-finite lanes map to NaN like the reference).  ~20 VPU ops vs ~50 for
+    the reference-shaped kernel; bit-identical on every bf16 input
+    (exhaustive tests).
+    """
+    max_scale = (nbits - 2) * (1 << es)
+    maxpos = jnp.float32(2.0 ** max_scale)
+    minpos = jnp.float32(2.0 ** -max_scale)
+
+    xf0 = x.astype(jnp.float32)
+    sign_bit = f32_bits(xf0) & jnp.int32(-2147483648)
+
+    xa = jnp.clip(jnp.abs(xf0), minpos, maxpos)
+    bits = f32_bits(xa)
+    e = (bits >> 23) - 127  # magnitude only: no sign/exp masking needed
+
+    run = jnp.where(e >= 0, 1 + (e >> es), -(e >> es))
+    raw = run + es + 25 - nbits
+    s2 = jnp.clip(raw, 0, 23) + jnp.clip(raw - 23, 0, es)
+
+    q = jnp.left_shift(jnp.ones_like(bits), s2)
+    q_mask = q - 1
+    r = (127 << 23) & q_mask
+    m = bits - r
+    lsb = jnp.where(
+        s2 >= 23 + es,
+        (e < 0).astype(bits.dtype),
+        (((bits - (127 << 23)) & q) != 0).astype(bits.dtype),
+    )
+    rounded = (m + (q >> 1) - 1 + lsb) & jnp.bitwise_not(q_mask)
+    out = jnp.minimum(bits_f32(rounded + r), maxpos)
+
+    threshold = math.pow(2.0, math.floor(-(nbits - 1) * (1 << es) + 2 ** (es - 1)))
+    out = bits_f32(f32_bits(out) | sign_bit)
+    out = jnp.where(jnp.abs(xf0) < threshold, 0.0, out)
+    out = jnp.where(jnp.isfinite(xf0), out, jnp.nan)
     return out.astype(x.dtype)

@@ -240,3 +240,36 @@ class TestStraightThrough:
         x = jnp.asarray(np.random.default_rng(5).standard_normal((2, 8)), jnp.float32)
         g = jax.grad(loss)(x)
         np.testing.assert_array_equal(np.asarray(g), np.ones_like(np.asarray(g)))
+
+
+class TestQuantizedMatmul:
+    def test_matches_xla_semantics(self):
+        from quantized_training_tpu.ops.pallas.quantized_matmul import (
+            quantized_matmul,
+        )
+        p8 = quantize_fn("posit8_1")
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((64, 128)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((128, 32)), jnp.bfloat16)
+        ref = jnp.dot(p8(x), w, preferred_element_type=jnp.float32).astype(
+            jnp.bfloat16)
+        out = quantized_matmul(x, w, x_qfn=p8)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_straight_through_grad(self):
+        from quantized_training_tpu.ops.pallas.quantized_matmul import (
+            quantized_matmul,
+        )
+        p8 = quantize_fn("posit8_1")
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)
+
+        g = jax.grad(lambda a: jnp.sum(
+            quantized_matmul(a, w, x_qfn=p8, w_qfn=p8)))(x)
+        # STE: dL/dx = 1 @ w_q^T
+        expected = jnp.ones((16, 8)) @ p8(w).T
+        np.testing.assert_allclose(np.asarray(g), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-4)

@@ -164,3 +164,30 @@ class TestGPT2Parity:
             ref = hf(torch.tensor(ids)).logits
         ours = model.apply({"params": params}, jnp.asarray(ids))
         assert_close(ours, ref, label="gpt2 logits")
+
+
+class TestDistilBertParity:
+    def test_qa_matches_hf(self):
+        from quantized_training_tpu.models.hf_loader import convert_distilbert
+        hf_cfg = transformers.DistilBertConfig(
+            vocab_size=128, dim=64, n_layers=2, n_heads=4, hidden_dim=128,
+            max_position_embeddings=64, attn_implementation="eager",
+        )
+        torch.manual_seed(2)
+        hf = transformers.DistilBertForQuestionAnswering(hf_cfg).eval()
+        cfg = BertConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=64, type_vocab_size=0, dtype="float32",
+        )
+        params = convert_distilbert(hf.state_dict(), cfg.num_hidden_layers)
+        model = BertForQuestionAnswering(cfg, None)
+        rng = np.random.default_rng(5)
+        ids = rng.integers(0, 128, (2, 12))
+        mask = np.ones((2, 12), np.int32); mask[1, 9:] = 0
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids), attention_mask=torch.tensor(mask))
+        start, end = model.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+        assert_close(start, ref.start_logits, label="start")
+        assert_close(end, ref.end_logits, label="end")
