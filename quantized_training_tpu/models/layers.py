@@ -296,8 +296,46 @@ class QDense(nn.Module, QuantMixin):
             bias = self.param(
                 "bias", self.bias_init, (self.features,), self.param_dtype
             )
+            bias = self._maybe_quant_bias(bias)
             y = y + bias.astype(self.dtype)
         return y
+
+    def _maybe_quant_bias(self, bias: jax.Array) -> jax.Array:
+        """Derived-scale bias quantization: scale = act_scale * weight_scale
+        (reference DerivedQuantizationSpec, quantize_pt2e.py:145-152).
+
+        Applies only when the site has a bias spec and both the activation
+        and weight observers use per-tensor delayed scaling (the schemes the
+        derivation is defined for); scales are read from this layer's own
+        observer states.
+        """
+        cfg = self._qconfig()
+        if cfg is None:
+            return bias
+        bspec = cfg.bias_spec(self._path_str)
+        if bspec is None:
+            return bias
+        aspec = cfg.activation_spec(
+            self._path_str, "linear", OpCategory.GEMM, 0)
+        wspec = cfg.weight_spec(self._path_str)
+
+        def _scale_of(child, spec):
+            if spec is None or spec.qscheme != QScheme.PER_TENSOR_SYMMETRIC:
+                return None
+            sub = self.get_variable("quant_state", child, None)
+            if not sub:
+                return None
+            state = sub["state"] if isinstance(sub, dict) else sub
+            return state.scale
+
+        s_a = _scale_of("linear_pre_process_0", aspec)
+        s_w = _scale_of("weight_fake_quant", wspec)
+        if s_a is None or s_w is None:
+            return bias
+        scale = (s_a * s_w).astype(bias.dtype)
+        from ..quantize.fake_quant import straight_through
+        qfn = quantize_fn(bspec.dtype)
+        return straight_through(lambda b: qfn(b / scale) * scale)(bias)
 
 
 class QLoRADense(nn.Module, QuantMixin):
@@ -479,18 +517,18 @@ class QSoftmax(nn.Module, QuantMixin):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = self.quant_activation_input(x, "softmax")
+        if self.posit_exp or self.posit_exp_shifted or self.posit_reciprocal:
+            from ..ops.softmax import posit_softmax
+
+            out = posit_softmax(
+                x,
+                bool(self.posit_exp or self.posit_exp_shifted),
+                bool(self.posit_reciprocal),
+            )
+            return out.astype(self.dtype)
         xf = x.astype(jnp.float32)
         x_max = jnp.max(xf, axis=-1, keepdims=True)
         shifted = xf - jax.lax.stop_gradient(x_max)
         e = jnp.exp(shifted)
-        if self.posit_exp or self.posit_exp_shifted:
-            p16 = quantize_fn("posit16_1")
-            e = p16(e)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        if self.posit_reciprocal:
-            p16 = quantize_fn("posit16_1")
-            recip = p16(1.0 / denom)
-            out = e * recip
-        else:
-            out = e / denom
+        out = e / jnp.sum(e, axis=-1, keepdims=True)
         return out.astype(self.dtype)

@@ -95,9 +95,13 @@ class QConfig:
     activation: Optional[QuantizationSpec] = None
     weight: Optional[QuantizationSpec] = None
     error: Optional[QuantizationSpec] = None
+    # Bias spec: quantized with the *derived* scale act_scale * weight_scale
+    # (reference: DerivedQuantizationSpec + derive_bias_qparams_fn,
+    # quantize_pt2e.py:145-152).
+    bias: Optional[QuantizationSpec] = None
 
     @staticmethod
-    def from_strs(activation=None, weight=None, error=None,
+    def from_strs(activation=None, weight=None, error=None, bias=None,
                   force_scale_power_of_two=False) -> "QConfig":
         def mk(s):
             if s is None:
@@ -107,7 +111,7 @@ class QConfig:
                 spec = spec.replace(force_scale_power_of_two=True)
             return spec
 
-        return QConfig(mk(activation), mk(weight), mk(error))
+        return QConfig(mk(activation), mk(weight), mk(error), mk(bias))
 
 
 # A scope rule: (pattern, op, index) -> QConfig. Any element may be None
@@ -225,6 +229,10 @@ class QuantConfig:
     def weight_spec(self, path: str, op: str = "linear") -> Optional[QuantizationSpec]:
         qc = self.resolve(path, op)
         return qc.weight if qc else None
+
+    def bias_spec(self, path: str, op: str = "linear") -> Optional[QuantizationSpec]:
+        qc = self.resolve(path, op)
+        return getattr(qc, "bias", None) if qc else None
 
     def error_spec(
         self, path: str, op: str, category: OpCategory, index: int = 0

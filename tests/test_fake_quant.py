@@ -273,3 +273,47 @@ class TestQuantizedMatmul:
         expected = jnp.ones((16, 8)) @ p8(w).T
         np.testing.assert_allclose(np.asarray(g), np.asarray(expected),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestPositSoftmax:
+    def test_forward_values(self):
+        from quantized_training_tpu.ops.softmax import posit_softmax
+        x = jnp.asarray(np.random.default_rng(9).standard_normal((4, 16)),
+                        jnp.float32)
+        exact = jax.nn.softmax(x, axis=-1)
+        approx = posit_softmax(x, True, True)
+        np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
+                                   rtol=5e-3, atol=5e-3)
+        assert float(jnp.max(jnp.abs(approx - exact))) > 0  # approximation real
+        # rows still ~sum to 1
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(approx, axis=-1)), 1.0, atol=2e-3)
+
+    def test_custom_backward_matches_reference_formula(self):
+        from quantized_training_tpu.ops.softmax import posit_softmax
+        from quantized_training_tpu.numerics import quantize_fn_positive
+        x = jnp.asarray(np.random.default_rng(10).standard_normal((8,)),
+                        jnp.float32)
+        g = jnp.asarray(np.random.default_rng(11).standard_normal((8,)),
+                        jnp.float32)
+        grad = jax.vjp(lambda t: posit_softmax(t, True, True), x)[1](g)[0]
+
+        # reproduce the reference backward by hand (softmax.py:46-49)
+        p16 = quantize_fn_positive("posit16_1")
+        shifted = x - jnp.max(x)
+        exp_x = p16(jnp.exp(shifted))
+        s = jnp.sum(exp_x)
+        out = exp_x * p16(1.0 / s)
+        deriv = 2.0 ** (jnp.floor(jnp.log2(s)) * -2 - 1)
+        expected = out * g - deriv * exp_x * jnp.sum(exp_x * g)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_exact_backward_when_no_reciprocal(self):
+        from quantized_training_tpu.ops.softmax import posit_softmax
+        x = jnp.asarray(np.random.default_rng(12).standard_normal((8,)),
+                        jnp.float32)
+        g1 = jax.grad(lambda t: jnp.sum(posit_softmax(t, False, False) ** 2))(x)
+        g2 = jax.grad(lambda t: jnp.sum(jax.nn.softmax(t) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-6)

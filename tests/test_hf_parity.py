@@ -191,3 +191,36 @@ class TestDistilBertParity:
             {"params": params}, jnp.asarray(ids), jnp.asarray(mask))
         assert_close(start, ref.start_logits, label="start")
         assert_close(end, ref.end_logits, label="end")
+
+
+class TestWhisperParity:
+    def test_seq2seq_matches_hf(self):
+        from quantized_training_tpu.models.whisper import (
+            WhisperConfig, WhisperForConditionalGeneration, convert_whisper,
+        )
+        hf_cfg = transformers.WhisperConfig(
+            vocab_size=256, num_mel_bins=16, d_model=32,
+            encoder_layers=2, decoder_layers=2,
+            encoder_attention_heads=2, decoder_attention_heads=2,
+            encoder_ffn_dim=64, decoder_ffn_dim=64,
+            max_source_positions=50, max_target_positions=32,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2,
+            decoder_start_token_id=1, suppress_tokens=[],
+            begin_suppress_tokens=[],
+            attn_implementation="eager",
+        )
+        torch.manual_seed(3)
+        hf = transformers.WhisperForConditionalGeneration(hf_cfg).eval()
+        cfg = WhisperConfig.tiny(dtype="float32")
+        params = convert_whisper(hf.state_dict(), cfg)
+        model = WhisperForConditionalGeneration(cfg, None)
+
+        rng = np.random.default_rng(6)
+        feats = rng.standard_normal((1, 16, 100)).astype(np.float32)
+        dec_ids = rng.integers(0, 256, (1, 8))
+        with torch.no_grad():
+            ref = hf(input_features=torch.tensor(feats),
+                     decoder_input_ids=torch.tensor(dec_ids)).logits
+        ours = model.apply({"params": params}, jnp.asarray(feats),
+                           jnp.asarray(dec_ids))
+        assert_close(ours, ref, label="whisper logits")

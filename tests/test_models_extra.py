@@ -107,3 +107,68 @@ class TestPresets:
         vars_ = model.init(jax.random.PRNGKey(0), ids)
         out = model.apply(vars_, ids)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestKWS:
+    def test_res8_res15(self):
+        from quantized_training_tpu.models.kws import KWSConfig, KWSResNet
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((2, 101, 40)),
+            jnp.float32)
+        for cfg in (KWSConfig.res8(), KWSConfig.res15()):
+            for qc in (None, posit8()):
+                model = KWSResNet(cfg, qc)
+                vars_ = model.init(jax.random.PRNGKey(0), x)
+                out = model.apply(vars_, x)
+                assert out.shape == (2, 12)
+                assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestDerivedBias:
+    def test_bias_uses_derived_scale(self):
+        from quantized_training_tpu.models.layers import QDense
+        qc = QuantConfig(global_qconfig=QConfig.from_strs(
+            activation="e4m3,qs=per_tensor_symmetric",
+            weight="e4m3,qs=per_tensor_symmetric",
+            bias="int32"))
+        layer = QDense(8, qconfig=qc)
+        x = jnp.asarray(
+            np.random.default_rng(6).standard_normal((4, 16)) * 10,
+            jnp.float32)
+        vars_ = layer.init(jax.random.PRNGKey(0), x)
+        for _ in range(2):
+            _, upd = layer.apply(vars_, x, mutable=["quant_state"])
+            vars_ = {**vars_, "quant_state": upd["quant_state"]}
+        y = layer.apply(vars_, x)
+        assert bool(jnp.all(jnp.isfinite(y)))
+        # effective bias is a multiple of s_a * s_w
+        st = vars_["quant_state"]
+        s = (float(st["linear_pre_process_0"]["state"].scale)
+             * float(st["weight_fake_quant"]["state"].scale))
+        bias = np.asarray(vars_["params"]["bias"])
+        from quantized_training_tpu.numerics import quantize_fn
+        bq = np.asarray(quantize_fn("int32")(jnp.asarray(bias) / s) * s)
+        y_nobias = layer.apply(
+            {**vars_, "params": {**vars_["params"],
+                                 "bias": jnp.zeros_like(vars_["params"]["bias"])}},
+            x)
+        np.testing.assert_allclose(
+            np.asarray(y - y_nobias)[0], bq, rtol=1e-3, atol=1e-4)
+
+
+class TestRunLogging:
+    def test_setup_and_metrics(self, tmp_path):
+        from quantized_training_tpu.utils.run_logging import (
+            setup_logging, SWEEP_CONFIGS, run_sweep)
+        log = setup_logging(str(tmp_path / "run.log"))
+        log({"loss": 1.5}, step=1)
+        assert (tmp_path / "run.log").exists()
+
+    def test_local_sweep_grid(self):
+        from quantized_training_tpu.utils.run_logging import run_sweep
+        calls = []
+        def train_fn(**kw):
+            calls.append(kw)
+            return 0.0
+        run_sweep("llama_wikitext", train_fn)
+        assert len(calls) == 6  # 3 dtypes x 2 ladder rungs
