@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["quantized_matmul"]
 
 
-def _mm_kernel(x_ref, w_ref, o_ref, acc_ref, xq_ref, *,
+def _mm_kernel(x_ref, x_next_ref, w_ref, o_ref, acc_ref, xq_ref, *,
                x_qfn, nk: int, block_k: int):
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -35,12 +35,19 @@ def _mm_kernel(x_ref, w_ref, o_ref, acc_ref, xq_ref, *,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Quantize each x tile once per (i, k) — on the first n-block sweep —
-    # and serve later n-blocks from the VMEM cache.
+    # Software-pipelined quantization: on the first n-block sweep, round the
+    # k=0 tile immediately and then always round tile k+1 — the VPU work on
+    # the *next* tile has no dependency on this step's MXU dot, letting
+    # Mosaic overlap them.  Later n-blocks reuse the VMEM cache.
     if x_qfn is not None:
-        @pl.when(j == 0)
-        def _quantize():
-            xq_ref[:, pl.ds(k * block_k, block_k)] = x_qfn(x_ref[:])
+        @pl.when(jnp.logical_and(j == 0, k == 0))
+        def _quantize_first():
+            xq_ref[:, pl.ds(0, block_k)] = x_qfn(x_ref[:])
+
+        @pl.when(jnp.logical_and(j == 0, k < nk - 1))
+        def _quantize_next():
+            xq_ref[:, pl.ds((k + 1) * block_k, block_k)] = x_qfn(
+                x_next_ref[:])
 
         x_tile = xq_ref[:, pl.ds(k * block_k, block_k)]
     else:
@@ -108,6 +115,9 @@ def quantized_matmul(
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            # lookahead tile for the pipelined quantize (clamped at the edge)
+            pl.BlockSpec((block_m, block_k),
+                         lambda i, j, k, nk=nk: (i, jnp.minimum(k + 1, nk - 1))),
             pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
@@ -124,10 +134,10 @@ def quantized_matmul(
 
     @jax.custom_vjp
     def _mm(x, w):
-        return call(x, w)
+        return call(x, x, w)
 
     def _fwd(x, w):
-        return call(x, w), (x, w)
+        return call(x, x, w), (x, w)
 
     def _bwd(res, g):
         xr, wr = res
