@@ -1,0 +1,74 @@
+"""LLM generation demo: load a local HF LLaMA/GPT-2 checkpoint, quantize
+weights, serve with the (optionally KIVI-quantized) KV cache.
+
+    python examples/generate_llm.py --model_path /path/to/llama \
+        --prompt "The capital of France is" \
+        --weight posit8_1 --kv_cache uint2 --max_new_tokens 64
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quantized_training_tpu.cli import add_qspec_args, quant_config_from_args
+from quantized_training_tpu.serving import KVCacheConfig, generate
+from wikitext import load_model  # reuse the LLaMA checkpoint loader
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--prompt", default="Hello, world")
+    parser.add_argument("--max_new_tokens", type=int, default=32)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--top_k", type=int, default=None)
+    parser.add_argument("--kv_cache", default=None,
+                        choices=[None, "uint2", "uint4", "uint8"],
+                        help="KIVI-quantize the KV cache at this width")
+    parser.add_argument("--prefill_len", type=int, default=128)
+    add_qspec_args(parser)
+    args = parser.parse_args()
+
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(args.model_path)
+    ids = tok(args.prompt, return_tensors="np").input_ids
+
+    # pad prefill to the static prefill length
+    P = args.prefill_len
+    if ids.shape[1] > P:
+        ids = ids[:, -P:]
+
+    qconfig = quant_config_from_args(args)
+    kcfg = None
+    if args.kv_cache:
+        kcfg = KVCacheConfig.kivi(
+            P, args.max_new_tokens,
+            k_spec=f"{args.kv_cache},qs=group_wise_affine,bs=32,ax=-2",
+            v_spec=f"{args.kv_cache},qs=group_wise_affine,bs=32,ax=-1",
+        )
+
+    model, params, cfg = load_model(args.model_path, qconfig,
+                                    args.use_flash_attention)
+    if kcfg is not None:
+        from dataclasses import replace
+        model = type(model)(replace(cfg, kv_cache=kcfg), qconfig)
+
+    out = generate(
+        model, {"params": params}, jnp.asarray(ids),
+        max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature, top_k=args.top_k,
+        eos_token_id=tok.eos_token_id,
+    )
+    text = tok.decode(np.asarray(out[0]), skip_special_tokens=True)
+    print(json.dumps({"text": text}))
+
+
+if __name__ == "__main__":
+    main()

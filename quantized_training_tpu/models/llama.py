@@ -147,7 +147,12 @@ class LlamaAttention(nn.Module, QuantMixin):
                 # Prefill: attend over the raw K/V; store them quantized.
                 cache_var.value = prefill_cache(cache_var.value, kcfg, k, v)
             else:
-                cache_var.value = append_to_cache(cache_var.value, k, v)
+                if cache_var.value.res_len.ndim == 1:
+                    # continuous-batching mode: per-slot residual indices
+                    from ..serving.kv_cache import append_per_slot
+                    cache_var.value = append_per_slot(cache_var.value, k, v)
+                else:
+                    cache_var.value = append_to_cache(cache_var.value, k, v)
                 k, v = cache_kv(cache_var.value, kcfg, dtype)
         elif use_cache:
             # Static-shape full-precision decode cache.

@@ -1,0 +1,180 @@
+"""Continuous batching engine (iteration-level scheduling) over the
+quantized KV cache.
+
+New capability with no reference counterpart (BASELINE.json north star:
+"continuous batching across hosts").  Design: a fixed number of batch slots
+decode in lockstep through one jitted step; when a request finishes (EOS or
+token budget), its slot is immediately refilled from the queue by quantizing
+the new request's prefill directly into that slot — other slots keep
+decoding, tracked by per-slot (B,) main/residual lengths and per-slot
+attention masks (serving/kv_cache.py per-slot ops).
+
+The whole cache is a pytree of static-shape arrays, so the decode step jits
+once and the slots shard over the data axis of a mesh.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kv_cache import KVCacheConfig, init_cache, per_slot_mask
+
+__all__ = ["ContinuousBatchingEngine"]
+
+
+@dataclass
+class _Slot:
+    request_id: Optional[int] = None
+    prompt_len: int = 0
+    generated: List[int] = field(default_factory=list)
+    budget: int = 0
+
+
+class ContinuousBatchingEngine:
+    """Slot-synchronous continuous batching for a model with a KIVI cache.
+
+    The model's config must carry ``kv_cache`` (KVCacheConfig); its decode
+    path must accept ``attention_mask`` and ``positions`` (LlamaForCausalLM
+    does).
+    """
+
+    def __init__(self, model, variables, *, batch_slots: int = 8,
+                 eos_token_id: Optional[int] = None):
+        assert model.config.kv_cache is not None, "model needs a kv_cache"
+        self.model = model
+        self.variables = {k: v for k, v in variables.items() if k != "cache"}
+        self.kcfg: KVCacheConfig = model.config.kv_cache
+        self.B = batch_slots
+        self.eos = eos_token_id
+        cfg = model.config
+        self.cache = None  # jax pytree {layer_path: QuantizedKVCache-like}
+        self.slots = [_Slot() for _ in range(batch_slots)]
+        self.queue: List[Tuple[int, np.ndarray, int]] = []
+        self.finished: Dict[int, List[int]] = {}
+        self._next_id = 0
+        self.tokens = jnp.zeros((batch_slots, 1), jnp.int32)
+        self._decode = None
+        self._dummy = jnp.zeros((batch_slots, 8), jnp.int32)
+
+    # ------------------------------------------------------------------ API
+    def submit(self, prompt_ids: np.ndarray, max_new_tokens: int) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append((rid, np.asarray(prompt_ids).reshape(-1),
+                           max_new_tokens))
+        return rid
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain the queue; returns {request_id: generated tokens}."""
+        while self.queue or any(s.request_id is not None for s in self.slots):
+            self._fill_slots()
+            self.step()
+        out, self.finished = self.finished, {}
+        return out
+
+    # ------------------------------------------------------------ internals
+    def _init_cache(self):
+        """Batched cache with per-slot (B,) lengths, built by running one
+        dummy prefill to shape the per-layer pytree."""
+        _, upd = self.model.apply(
+            self.variables, self._dummy, use_cache=True, cache_index=0,
+            mutable=["cache"])
+        proto = upd["cache"]
+
+        def widen(leaf):
+            # leaf: (B, ...) already batched at engine batch; lengths scalars
+            if leaf.ndim == 0:
+                return jnp.zeros((self.B,), leaf.dtype)
+            return jnp.zeros_like(leaf)
+
+        self.cache = jax.tree_util.tree_map(widen, proto)
+
+    def _fill_slots(self):
+        for b, slot in enumerate(self.slots):
+            if slot.request_id is None and self.queue:
+                rid, ids, budget = self.queue.pop(0)
+                slot.request_id = rid
+                slot.prompt_len = len(ids)
+                slot.budget = budget
+                # prefill seeds slot.generated with the first sampled token
+                self._prefill_slot(b, ids)
+
+    def _prefill_slot(self, b: int, ids: np.ndarray):
+        if self.cache is None:
+            self._init_cache()
+        P = self.kcfg.max_prefill
+        ids = ids[-P:]
+        S = len(ids)
+        padded = np.zeros((1, P), np.int32)
+        padded[0, :S] = ids
+        # batch-1 prefill builds a quantized single-slot cache
+        logits, upd = self.model.apply(
+            self.variables, jnp.asarray(padded[:, :S]), use_cache=True,
+            cache_index=0, mutable=["cache"])
+        small = upd["cache"]
+
+        def merge(big, small_leaf):
+            if big.ndim == 1 and small_leaf.ndim == 0:   # per-slot lengths
+                return big.at[b].set(small_leaf.astype(big.dtype))
+            start = (b,) + (0,) * (big.ndim - 1)
+            return jax.lax.dynamic_update_slice(
+                big, small_leaf.astype(big.dtype), start)
+
+        self.cache = jax.tree_util.tree_map(merge, self.cache, small)
+        next_tok = int(jnp.argmax(logits[0, S - 1]))
+        self.tokens = self.tokens.at[b, 0].set(next_tok)
+        self.slots[b].generated = [next_tok]
+
+    def _decode_fn(self):
+        if self._decode is not None:
+            return self._decode
+        model, kcfg = self.model, self.kcfg
+
+        @jax.jit
+        def decode(variables, cache, tokens, main_len, res_len):
+            positions = (main_len + res_len)[:, None]
+            mask = per_slot_mask(kcfg, main_len, res_len)
+            logits, upd = model.apply(
+                {**variables, "cache": cache}, tokens,
+                attention_mask=mask, positions=positions,
+                use_cache=True, mutable=["cache"])
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return upd["cache"], nxt
+
+        self._decode = decode
+        return decode
+
+    def step(self):
+        if self.cache is None:
+            return
+        # lengths live in every layer's cache entry; read one of them
+        leaves = [v for v in jax.tree_util.tree_leaves(self.cache)]
+        # find main_len/res_len by walking the dict structure instead:
+        main_len, res_len = self._lengths()
+        decode = self._decode_fn()
+        self.cache, nxt = decode(
+            self.variables, self.cache, self.tokens, main_len, res_len)
+        nxt_host = np.asarray(nxt)
+        self.tokens = nxt[:, None]
+        for b, slot in enumerate(self.slots):
+            if slot.request_id is None:
+                continue
+            tok = int(nxt_host[b])
+            slot.generated.append(tok)
+            done = (self.eos is not None and tok == self.eos) or \
+                len(slot.generated) >= slot.budget or \
+                len(slot.generated) >= self.kcfg.max_decode
+            if done:
+                self.finished[slot.request_id] = slot.generated
+                slot.request_id = None
+
+    def _lengths(self):
+        """Per-slot lengths from the first layer's cache entry."""
+        node = self.cache
+        while isinstance(node, dict):
+            node = node[next(iter(node))]
+        return node.main_len, node.res_len

@@ -262,3 +262,79 @@ def unpack_codes(packed: jax.Array, bits: int) -> jax.Array:
     u = (packed[..., None] >> shifts) & ((1 << bits) - 1)
     *lead, last, _ = u.shape
     return u.reshape(*lead, last * per).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# Per-slot operations for continuous batching (lengths as (B,) arrays)
+# ---------------------------------------------------------------------------
+
+def prefill_slot(
+    cache: QuantizedKVCache, cfg: KVCacheConfig,
+    k: jax.Array, v: jax.Array, slot: jax.Array,
+) -> QuantizedKVCache:
+    """Quantize one request's prefill K/V (1, P, KV, D) into batch slot
+    ``slot`` and reset that slot's residual.  Lengths must be (B,) arrays
+    (continuous-batching mode)."""
+    if cfg.k_spec is not None:
+        k_codes, k_scale, k_zp = _quantize_groupwise(k, cfg.k_spec)
+    else:
+        k_codes, k_scale, k_zp = k, None, None
+    if cfg.v_spec is not None:
+        v_codes, v_scale, v_zp = _quantize_groupwise(v, cfg.v_spec)
+    else:
+        v_codes, v_scale, v_zp = v, None, None
+
+    def put(buf, val):
+        if val is None:
+            return buf
+        start = (slot,) + (0,) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), start)
+
+    S = k.shape[1]
+    return cache._replace(
+        k_codes=put(cache.k_codes, k_codes),
+        k_scale=put(cache.k_scale, k_scale),
+        k_zp=put(cache.k_zp, k_zp),
+        v_codes=put(cache.v_codes, v_codes),
+        v_scale=put(cache.v_scale, v_scale),
+        v_zp=put(cache.v_zp, v_zp),
+        k_res=put(cache.k_res, jnp.zeros_like(cache.k_res[:1])),
+        v_res=put(cache.v_res, jnp.zeros_like(cache.v_res[:1])),
+        main_len=cache.main_len.at[slot].set(S),
+        res_len=cache.res_len.at[slot].set(0),
+    )
+
+
+def append_per_slot(
+    cache: QuantizedKVCache, k_new: jax.Array, v_new: jax.Array
+) -> QuantizedKVCache:
+    """Append one decode token per slot at each slot's own residual index.
+
+    k_new/v_new: (B, 1, KV, D); res_len: (B,).
+    """
+    def put_row(buf_row, new_row, idx):
+        return jax.lax.dynamic_update_slice(
+            buf_row, new_row, (idx, 0, 0))
+
+    k_res = jax.vmap(put_row)(cache.k_res, k_new, cache.res_len)
+    v_res = jax.vmap(put_row)(cache.v_res, v_new, cache.res_len)
+    return cache._replace(
+        k_res=k_res, v_res=v_res, res_len=cache.res_len + 1)
+
+
+def per_slot_mask(
+    cfg: KVCacheConfig, main_len: jax.Array, res_len: jax.Array,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Additive decode mask (B, 1, 1, P+R) from per-slot lengths: main slots
+    < main_len[b] visible; residual slots <= res_len[b] visible (the current
+    token was just appended at index res_len[b])."""
+    P, R = cfg.max_prefill, cfg.max_decode
+    kv_pos = jnp.arange(P + R)[None, :]
+    in_main = kv_pos < main_len[:, None]
+    in_res = jnp.logical_and(kv_pos >= P,
+                             (kv_pos - P) <= res_len[:, None])
+    allowed = jnp.logical_or(in_main, in_res)
+    mask_value = float(jnp.finfo(jnp.bfloat16).min)
+    mask = jnp.where(allowed, 0.0, mask_value).astype(dtype)
+    return mask[:, None, None, :]

@@ -194,3 +194,67 @@ class TestFlashInModel:
         total = sum(float(jnp.sum(jnp.abs(x)))
                     for x in jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestContinuousBatching:
+    def test_engine_drains_queue(self):
+        from quantized_training_tpu.serving.engine import (
+            ContinuousBatchingEngine,
+        )
+        kcfg = KVCacheConfig(max_prefill=8, max_decode=8)  # unquantized main
+        cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model = LlamaForCausalLM(cfg, None)
+        rng = np.random.default_rng(7)
+        ids0 = jnp.asarray(rng.integers(0, 256, (1, 8)))
+        vars_ = model.init(jax.random.PRNGKey(0), ids0)
+
+        engine = ContinuousBatchingEngine(
+            model, {"params": vars_["params"]}, batch_slots=2)
+        rids = [engine.submit(rng.integers(0, 256, 6), max_new_tokens=4)
+                for _ in range(5)]
+        results = engine.run()
+        assert set(results) == set(rids)
+        assert all(len(v) == 4 for v in results.values())
+
+    def test_engine_matches_sequential_generate(self):
+        """One request through the engine == generate() on the same model
+        (unquantized cache => decode math identical)."""
+        from quantized_training_tpu.serving.engine import (
+            ContinuousBatchingEngine,
+        )
+        kcfg = KVCacheConfig(max_prefill=8, max_decode=8)
+        cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model = LlamaForCausalLM(cfg, None)
+        rng = np.random.default_rng(8)
+        prompt = rng.integers(0, 256, 8)
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(prompt[None]))
+
+        ref = generate(model, {"params": vars_["params"]},
+                       jnp.asarray(prompt[None]), max_new_tokens=4)
+        expected = np.asarray(ref[0, 8:]).tolist()
+
+        engine = ContinuousBatchingEngine(
+            model, {"params": vars_["params"]}, batch_slots=2)
+        rid = engine.submit(prompt, max_new_tokens=4)
+        results = engine.run()
+        assert results[rid] == expected
+
+    def test_quantized_cache_engine(self):
+        from quantized_training_tpu.serving.engine import (
+            ContinuousBatchingEngine,
+        )
+        kcfg = KVCacheConfig.kivi(
+            max_prefill=8, max_decode=8,
+            k_spec="uint8,qs=group_wise_affine,bs=16,ax=-2",
+            v_spec="uint8,qs=group_wise_affine,bs=16,ax=-1")
+        cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model = LlamaForCausalLM(cfg, None)
+        rng = np.random.default_rng(9)
+        vars_ = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(rng.integers(0, 256, (1, 8))))
+        engine = ContinuousBatchingEngine(
+            model, {"params": vars_["params"]}, batch_slots=3)
+        rids = [engine.submit(rng.integers(0, 256, 5), max_new_tokens=3)
+                for _ in range(4)]
+        results = engine.run()
+        assert set(results) == set(rids)
