@@ -27,6 +27,9 @@ import jax.numpy as jnp
 
 from quantized_training_tpu.cli import add_qspec_args, quant_config_from_args
 from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+from quantized_training_tpu.models.gpt2 import (
+    GPT2Config, GPT2LMHeadModel, convert_gpt2,
+)
 from quantized_training_tpu.models.hf_loader import (
     convert_llama, load_state_dict_dir,
 )
@@ -36,6 +39,13 @@ from quantized_training_tpu.utils.evaluation import sliding_window_perplexity
 def load_model(path: str, qconfig, use_flash: bool):
     with open(os.path.join(path, "config.json")) as f:
         hf = json.load(f)
+    if hf.get("model_type") == "gpt2":
+        cfg = GPT2Config(
+            vocab_size=hf["vocab_size"], n_positions=hf["n_positions"],
+            n_embd=hf["n_embd"], n_layer=hf["n_layer"], n_head=hf["n_head"],
+        )
+        state = load_state_dict_dir(path)
+        return GPT2LMHeadModel(cfg, qconfig), convert_gpt2(state, cfg.n_layer), cfg
     cfg = LlamaConfig(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -94,7 +104,8 @@ def main():
     tokens = load_tokens(args)
     if args.max_tokens:
         tokens = tokens[: args.max_tokens]
-    print(f"model: {args.model_path} ({cfg.num_hidden_layers} layers), "
+    n_layers = getattr(cfg, "num_hidden_layers", getattr(cfg, "n_layer", "?"))
+    print(f"model: {args.model_path} ({n_layers} layers), "
           f"eval tokens: {len(tokens)}", file=sys.stderr)
 
     fwd = jax.jit(lambda ids: model.apply({"params": params}, ids))
