@@ -118,4 +118,10 @@ def dump_verification_tensors(
 
     with open(os.path.join(output_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+    # plain-text manifest consumed by the native comparator (native/qtt_verify.cc)
+    with open(os.path.join(output_dir, "manifest.txt"), "w") as f:
+        for name, meta in manifest.items():
+            dims = " ".join(str(d) for d in meta["shape"])
+            f.write(f"{name} {meta['file']} {meta['dtype']} "
+                    f"{len(meta['shape'])} {dims}\n")
     return manifest

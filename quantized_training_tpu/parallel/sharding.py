@@ -25,6 +25,7 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 __all__ = [
     "apply_sharding_rules",
     "shard_rules_llama",
+    "shard_rules_transformer",
     "shard_pytree",
     "batch_sharding",
 ]
@@ -57,6 +58,23 @@ def shard_rules_llama() -> Rules:
         (r"quant_state.*", P()),
         # KV cache: shard heads over the model axis, batch over data
         (r"cache_[kv]$", P(DATA_AXIS, None, m, None)),
+    )
+
+
+def shard_rules_transformer() -> Rules:
+    """Generic TP rules for the encoder models (BERT/MobileBERT/GPT-2/
+    Whisper/ViT): attention q/k/v and FFN-up column-parallel, attention-out
+    and FFN-down row-parallel, norms/embeddings replicated."""
+    m = MODEL_AXIS
+    return (
+        (r"\.(query|key|value|q_proj|k_proj|v_proj|c_attn)\.kernel$", P(None, m)),
+        (r"\.(attention_output_dense|out_proj|c_proj)\.kernel$", P(m, None)),
+        (r"\.(intermediate_dense|fc1|mlp_c_fc|ffn_\d+_intermediate)\.kernel$",
+         P(None, m)),
+        (r"\.(output_dense|fc2|mlp_c_proj|ffn_\d+_output)\.kernel$", P(m, None)),
+        (r"\.scale$", P()),
+        (r"\.bias$", P()),
+        (r"embedding$", P()),
     )
 
 

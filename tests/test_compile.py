@@ -38,3 +38,35 @@ def test_dump_verification_tensors(tmp_path):
     assert set(manifest) == {"input_0", "output_0"}
     out = np.fromfile(tmp_path / "output_0.bin", np.float32).reshape(2, 3)
     np.testing.assert_array_equal(out, np.asarray(x) * 2.0)
+
+
+def test_native_verifier(tmp_path):
+    """End-to-end: dump tensors from two runs, compare with the native tool."""
+    import shutil
+    import subprocess
+
+    import jax
+
+    exe = os.path.join(os.path.dirname(__file__), "..", "native", "qtt-verify")
+    if not os.path.exists(exe):
+        make = shutil.which("make")
+        if make is None:
+            return  # no toolchain: skip silently
+        subprocess.run([make, "-C", os.path.dirname(exe)], check=True,
+                       capture_output=True)
+
+    fn = lambda x: x * 2.0 + 1.0
+    x = jnp.asarray(np.arange(24, dtype=np.float32).reshape(4, 6))
+    dir_a, dir_b, dir_c = (str(tmp_path / d) for d in "abc")
+    dump_verification_tensors(fn, (x,), dir_a)
+    dump_verification_tensors(fn, (x,), dir_b)
+    # identical runs must pass
+    r = subprocess.run([exe, dir_a, dir_b], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "0 failed" in r.stdout
+    # perturbed run must fail
+    fn2 = lambda t: t * 2.0 + 1.5
+    dump_verification_tensors(fn2, (x,), dir_c)
+    r = subprocess.run([exe, dir_a, dir_c], capture_output=True, text=True)
+    assert r.returncode == 1
+    assert "FAIL" in r.stdout

@@ -95,3 +95,27 @@ class TestShardingRules:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestTransformerRules:
+    def test_bert_tp_forward(self):
+        from quantized_training_tpu.models.bert import (
+            BertConfig, BertForQuestionAnswering,
+        )
+        from quantized_training_tpu.parallel import shard_rules_transformer
+
+        cfg = BertConfig.tiny()
+        model = BertForQuestionAnswering(cfg, None)
+        ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (4, 16)))
+        params = model.init(jax.random.PRNGKey(0), ids)["params"]
+        s_ref, e_ref = model.apply({"params": params}, ids)
+
+        mesh = cpu_mesh(2, 4)
+        shardings = apply_sharding_rules(
+            params, mesh, shard_rules_transformer())
+        sharded = jax.tree_util.tree_map(jax.device_put, params, shardings)
+        with mesh:
+            s, e = jax.jit(lambda p, i: model.apply({"params": p}, i))(
+                sharded, ids)
+        a, b = np.asarray(s), np.asarray(s_ref)
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
