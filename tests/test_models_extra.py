@@ -172,3 +172,20 @@ class TestRunLogging:
             return 0.0
         run_sweep("llama_wikitext", train_fn)
         assert len(calls) == 6  # 3 dtypes x 2 ladder rungs
+
+
+class TestSegmentation:
+    def test_fcn_forward(self):
+        from quantized_training_tpu.models.segmentation import (
+            SegmentationConfig, FCNSegmenter,
+        )
+        cfg = SegmentationConfig.tiny()
+        imgs = jnp.asarray(
+            np.random.default_rng(7).standard_normal((1, 32, 32, 3)),
+            jnp.float32)
+        for qc in (None, posit8()):
+            model = FCNSegmenter(cfg, qc)
+            vars_ = model.init(jax.random.PRNGKey(0), imgs)
+            out = model.apply(vars_, imgs)
+            assert out.shape == (1, 32, 32, 8)
+            assert bool(jnp.all(jnp.isfinite(out)))
