@@ -44,25 +44,12 @@ def build(quantized: bool):
     return LlamaForCausalLM(cfg, qc), cfg
 
 
-def prequantize_weights(variables):
-    """Offline weight quantization (serving mode): round every matmul kernel
-    to posit8_1 once, so the runtime path only quantizes activations."""
-    from quantized_training_tpu.numerics import quantize_fn
+def prequantize_weights(variables, qconfig):
+    """Offline weight quantization (serving deployment step)."""
+    from quantized_training_tpu.quantize import fold_quantized_weights
 
-    q = quantize_fn("posit8_1")
-
-    def walk(tree):
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                out[k] = walk(v)
-            elif k == "kernel":
-                out[k] = q(v.astype(jnp.bfloat16)).astype(v.dtype)
-            else:
-                out[k] = v
-        return out
-
-    return {**variables, "params": walk(variables["params"])}
+    return {**variables,
+            "params": fold_quantized_weights(variables["params"], qconfig)}
 
 
 def measure(model, variables, ids, iters=4, repeats=3):
@@ -112,14 +99,11 @@ def main():
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)))
     # jit the init: remote backends pay ~30ms dispatch per op otherwise
     qvars = jax.jit(qmodel.init)(jax.random.PRNGKey(0), ids)
-    qvars = prequantize_weights(qvars)
+    qvars = prequantize_weights(qvars, qmodel.qconfig)
     # weight rounding is folded offline; runtime quantizes activations only
-    from quantized_training_tpu.quantize import QConfig, QuantConfig
-    act_only = QuantConfig(
-        global_qconfig=QConfig.from_strs(activation="posit8_1")
-    ).with_fusion(forward="gemm")
+    from quantized_training_tpu.quantize import strip_weight_specs
     from quantized_training_tpu.models import LlamaForCausalLM
-    qmodel = LlamaForCausalLM(cfg, act_only)
+    qmodel = LlamaForCausalLM(cfg, strip_weight_specs(qmodel.qconfig))
     print("measuring quantized...", file=sys.stderr, flush=True)
     q_tps = measure(qmodel, {"params": qvars["params"]}, ids)
 

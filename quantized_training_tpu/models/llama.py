@@ -249,19 +249,23 @@ class LlamaAttention(nn.Module, QuantMixin):
         dtype = jnp.dtype(cfg.dtype)
         H, KV, D = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
 
-        # GQA: repeat kv heads.
-        if k.shape[2] != H:
-            rep = H // k.shape[2]
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-
-        if attention_mask is None:
-            attention_mask = causal_mask(B, S, k.shape[1],
-                                         cache_index if use_cache else 0)
-
-        # qk matmul: both inputs quantized (MatmulFunctional semantics).
+        # qk/av matmul input quantization runs *before* GQA expansion:
+        # repeat duplicates values, so quantize(repeat(x)) == repeat(quantize)
+        # at 1/rep the VPU work.
         qq = self.quant_input(q, "matmul", OpCategory.GEMM, 0)
         kk = self.quant_input(k, "matmul", OpCategory.GEMM, 1)
+        vv = self.quant_input(v, "matmul", OpCategory.GEMM, 1,
+                              hook="av_pre_process")
+
+        # GQA: repeat kv heads.
+        if kk.shape[2] != H:
+            rep = H // kk.shape[2]
+            kk = jnp.repeat(kk, rep, axis=2)
+            vv = jnp.repeat(vv, rep, axis=2)
+
+        if attention_mask is None:
+            attention_mask = causal_mask(B, S, kk.shape[1],
+                                         cache_index if use_cache else 0)
         scores = jnp.einsum(
             "bshd,bthd->bhst", qq, kk, preferred_element_type=jnp.float32
         )
@@ -277,10 +281,8 @@ class LlamaAttention(nn.Module, QuantMixin):
             scores.astype(dtype)
         )
 
-        # av matmul: both inputs quantized.
+        # av matmul: probs quantized here; v was quantized pre-expansion.
         pp = self.quant_input(probs, "matmul", OpCategory.GEMM, 0,
-                              hook="av_pre_process")
-        vv = self.quant_input(v, "matmul", OpCategory.GEMM, 1,
                               hook="av_pre_process")
         return jnp.einsum(
             "bhst,bthd->bshd", pp, vv, preferred_element_type=jnp.float32

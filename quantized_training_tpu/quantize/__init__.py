@@ -20,6 +20,7 @@ from .ops import (
     outlier_matmul,
     to_csr,
 )
+from .fold import fold_quantized_weights, strip_weight_specs
 from .config import (
     OpCategory,
     QConfig,
@@ -50,4 +51,6 @@ __all__ = [
     "QuantConfig",
     "FUSION_LADDER",
     "parse_op_categories",
+    "fold_quantized_weights",
+    "strip_weight_specs",
 ]

@@ -317,3 +317,25 @@ class TestPositSoftmax:
         g2 = jax.grad(lambda t: jnp.sum(jax.nn.softmax(t) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestWeightFolding:
+    def test_folded_matches_unfolded(self):
+        from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+        from quantized_training_tpu.quantize import (
+            QConfig, QuantConfig, fold_quantized_weights, strip_weight_specs,
+        )
+        cfgq = QuantConfig(global_qconfig=QConfig.from_strs(
+            activation="posit8_1", weight="posit8_1")).with_fusion(
+            forward="gemm")
+        cfg = LlamaConfig.tiny()
+        model = LlamaForCausalLM(cfg, cfgq)
+        ids = jnp.asarray(np.random.default_rng(13).integers(0, 256, (2, 8)))
+        vars_ = model.init(jax.random.PRNGKey(0), ids)
+        ref = model.apply(vars_, ids)
+
+        folded = fold_quantized_weights(vars_["params"], cfgq)
+        act_only = strip_weight_specs(cfgq)
+        model2 = LlamaForCausalLM(cfg, act_only)
+        out = model2.apply({"params": folded}, ids)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
