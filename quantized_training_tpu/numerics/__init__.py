@@ -11,6 +11,8 @@ from .posit import (
     quantize_to_posit,
     quantize_to_posit_positive,
     quantize_to_posit_fast,
+    decode_posit,
+    encode_posit,
     posit_max_value,
 )
 from .fp8 import (
@@ -43,6 +45,8 @@ __all__ = [
     "quantize_to_posit",
     "quantize_to_posit_positive",
     "quantize_to_posit_fast",
+    "decode_posit",
+    "encode_posit",
     "posit_max_value",
     "quantize_to_fp8_e4m3",
     "quantize_to_fp8_e5m2",

@@ -29,7 +29,8 @@ from .bitutils import (
 )
 
 __all__ = ["quantize_to_posit", "quantize_to_posit_positive",
-           "quantize_to_posit_fast", "posit_max_value"]
+           "quantize_to_posit_fast", "decode_posit", "encode_posit",
+           "posit_max_value"]
 
 
 def posit_max_value(nbits: int, es: int) -> float:
@@ -235,3 +236,66 @@ def quantize_to_posit_fast(
     out = jnp.where(jnp.abs(xf0) < threshold, 0.0, out)
     out = jnp.where(jnp.isfinite(xf0), out, jnp.nan)
     return out.astype(x.dtype)
+
+
+def decode_posit(codes: jax.Array, nbits: int = 8, es: int = 1) -> jax.Array:
+    """Decode packed posit codes (two's-complement, as produced by
+    ``quantize_to_posit(..., return_pbits=True)``) back to float values.
+
+    Pure bit arithmetic with two variable-amount shifts per element —
+    Pallas-safe, used by the posit-storage matmul kernels to decode weight
+    tiles in VMEM (weights live in HBM at 1 byte/element instead of bf16's
+    two).  code 0 -> 0; the NaR pattern (-2^(nbits-1)) -> NaN.
+    """
+    c = codes.astype(jnp.int32)
+    width_mask = (1 << nbits) - 1
+    c = c & width_mask
+    nar = 1 << (nbits - 1)
+
+    sign = c >= nar                      # top bit set => negative
+    mag = jnp.where(sign, (nar * 2 - c) & width_mask, c)  # two's complement
+
+    # Left-align the magnitude's regime+exp+frac (nbits-1 payload bits) at
+    # bit 30 so clz counts the regime run directly.
+    u = jnp.left_shift(mag, 32 - nbits) & 0x7FFFFFFF
+
+    top_one = (u & 0x40000000) != 0
+    ones_run = jax.lax.clz((~u) & 0x7FFFFFFF) - 1   # leading 1s below bit 31
+    zeros_run = jax.lax.clz(u | 1) - 1              # leading 0s below bit 31
+    run = jnp.where(top_one, ones_run, zeros_run)
+
+    scale_regime = jnp.where(top_one, (run - 1) << es, -(run) << es)
+
+    # Bits after the regime terminator, left-aligned at bit 31.
+    tail = jnp.left_shift(u, run + 2)
+    if es > 0:
+        exp = jnp.right_shift(tail, 32 - es) & ((1 << es) - 1)
+    else:
+        exp = 0
+    scale = scale_regime + exp
+    # Fraction: the remaining tail bits aligned into the f32 23-bit field.
+    frac23 = jnp.right_shift(jnp.left_shift(tail, es), 9) & 0x7FFFFF
+
+    bits = ((scale + 127) << 23) | frac23
+    out = bits_f32(bits)
+    out = jnp.where(sign, -out, out)
+    out = jnp.where(mag == 0, 0.0, out)
+    out = jnp.where(c == nar, jnp.nan, out)
+    return out
+
+
+def encode_posit(x: jax.Array, nbits: int = 8, es: int = 1) -> jax.Array:
+    """Quantize and return the packed posit codes (int32, two's complement).
+
+    The reference's ``return_pbits`` path emits garbage codes for
+    regime-saturated lanes (its shift counts overflow there — the reference
+    has the same defect); this encoder avoids that by re-running the bit
+    extraction on the already-rounded values, which are exactly on the posit
+    grid and therefore never regime-dominated.  NaN maps to NaR.
+    """
+    vals = quantize_to_posit(x, nbits, es, round_to_even=True)
+    _, pbits = quantize_to_posit(vals, nbits, es, round_to_even=False,
+                                 return_pbits=True)
+    nar = -(1 << (nbits - 1))
+    pbits = jnp.where(jnp.isnan(vals.astype(jnp.float32)), nar, pbits)
+    return pbits

@@ -339,3 +339,35 @@ class TestWeightFolding:
         model2 = LlamaForCausalLM(cfg, act_only)
         out = model2.apply({"params": folded}, ids)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestPositStorage:
+    def test_encode_decode_roundtrip_exhaustive_8bit(self):
+        from quantized_training_tpu.numerics import (
+            quantize_to_posit, decode_posit, encode_posit, bf16_universe,
+        )
+        u = bf16_universe()
+        vals = quantize_to_posit(u, 8, 1)
+        codes = encode_posit(u, 8, 1)
+        dec = decode_posit(codes, 8, 1).astype(jnp.bfloat16)
+        vf = np.asarray(vals.astype(jnp.float32))
+        df = np.asarray(dec.astype(jnp.float32))
+        both_nan = np.isnan(vf) & np.isnan(df)
+        assert ((vf != df) & ~both_nan).sum() == 0
+        assert codes.dtype == jnp.int32
+
+    def test_posit_matmul_matches_dequant_matmul(self):
+        from quantized_training_tpu.ops.pallas.posit_storage import (
+            pack_posit_weights, posit_matmul,
+        )
+        rng = np.random.default_rng(14)
+        x = jnp.asarray(rng.standard_normal((8, 64)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((64, 32)) * 0.1, jnp.bfloat16)
+        codes = pack_posit_weights(w)
+        assert codes.dtype == jnp.int8
+        out = posit_matmul(x, codes)
+        ref = jnp.dot(x, quantize_fn("posit8_1")(w),
+                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
