@@ -1,0 +1,126 @@
+"""MX-int8 weight-storage matmul: weights live in HBM as int8 microscaling
+codes + per-block scales; the kernel converts and rescales tiles in VMEM
+(2-3 VPU ops per element) before the MXU dot.
+
+This is the throughput-oriented 8-bit weight storage path (cf. the posit
+storage kernel, which is exact-posit but VPU-decode-bound): int8 halves the
+weight bytes streamed from HBM and the cheap convert keeps the VPU ahead of
+the stream, so weight-bandwidth-bound GEMMs (decode / small batch) run up to
+~2x faster while fake-quantization semantics match the framework's
+``int8,qs=microscaling`` spec exactly.
+
+``pack_mx_weights`` is the offline step: blockwise amax scales along the
+contraction dim (the reference's weight ax=-1 in (out,in) layout == axis 0
+of our (in, out) kernels), codes = round(w / scale).
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...quantize.ops import calculate_mx_qparam, expand_scale
+from ...numerics import quantize_fn
+
+__all__ = ["pack_mx_weights", "mx_matmul"]
+
+
+def pack_mx_weights(
+    w: jax.Array, nbits: int = 8, block_size: int = 64
+) -> Tuple[jax.Array, jax.Array]:
+    """Offline: (K, N) weights -> int8 codes + bf16 scales (K/bs, N).
+
+    Scales are blockwise amax / quant_max along K (the contraction dim).
+    Dequantized codes reproduce the ``int{nbits},qs=microscaling,bs=...``
+    fake-quant of ``w`` exactly.
+    """
+    quant_max = float(2 ** (nbits - 1) - 1)
+    scale = calculate_mx_qparam(w, (0,), block_size, quant_max)
+    qfn = quantize_fn(f"int{nbits}")
+    codes = qfn(w.astype(jnp.float32)
+                / expand_scale(scale, w.shape, block_size).astype(jnp.float32))
+    return codes.astype(jnp.int8), scale.astype(jnp.bfloat16)
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk: int, block_size: int,
+            block_k: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # int8 codes -> bf16, rescaled per (K-block, N) group: one convert and
+    # one multiply per element.
+    codes = w_ref[:].astype(jnp.bfloat16)
+    scales = s_ref[:]                      # (block_k // bs, block_n)
+    w = codes * jnp.repeat(scales, block_size, axis=0)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def mx_matmul(
+    x: jax.Array,
+    w_codes: jax.Array,
+    w_scales: jax.Array,
+    *,
+    block_size: int = 64,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """y = x @ (codes * expand(scales)); codes (K, N) int8, scales (K/bs, N)."""
+    M, K = x.shape
+    K2, N = w_codes.shape
+    assert K == K2
+    out_dtype = out_dtype or x.dtype
+
+    if interpret is None:
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        interpret = platform != "tpu"
+
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+    block_k = min(block_k, K)
+    if (M % block_m or N % block_n or K % block_k
+            or block_k % block_size or interpret):
+        w = (w_codes.astype(jnp.float32)
+             * expand_scale(w_scales.astype(jnp.float32), w_codes.shape,
+                            block_size)).astype(x.dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
+            out_dtype)
+
+    nk = K // block_k
+    grid = (M // block_m, N // block_n, nk)
+    kernel = functools.partial(_kernel, nk=nk, block_size=block_size,
+                               block_k=block_k)
+
+    sb = block_k // block_size
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((sb, block_n), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+    )(x, w_codes, w_scales)

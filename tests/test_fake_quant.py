@@ -371,3 +371,39 @@ class TestPositStorage:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+class TestMXStorage:
+    def test_pack_matches_fake_quant_spec(self):
+        from quantized_training_tpu.ops.pallas.mx_storage import (
+            pack_mx_weights,
+        )
+        from quantized_training_tpu.quantize.ops import expand_scale
+        rng = np.random.default_rng(15)
+        w = jnp.asarray(rng.standard_normal((128, 64)), jnp.float32)
+        codes, scales = pack_mx_weights(w)
+        spec = QuantizationSpec.from_str("int8,qs=microscaling,bs=64,ax=0")
+        wq, _ = fake_quantize(w, spec)
+        deq = codes.astype(jnp.float32) * expand_scale(
+            scales.astype(jnp.float32), codes.shape, 64)
+        # bf16 scale storage costs <=0.4% relative error vs the f32 spec path
+        np.testing.assert_allclose(np.asarray(deq), np.asarray(wq),
+                                   rtol=5e-3, atol=5e-4)
+
+    def test_mx_matmul_matches_dequant(self):
+        from quantized_training_tpu.ops.pallas.mx_storage import (
+            pack_mx_weights, mx_matmul,
+        )
+        from quantized_training_tpu.quantize.ops import expand_scale
+        rng = np.random.default_rng(16)
+        x = jnp.asarray(rng.standard_normal((8, 128)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((128, 64)) * 0.2, jnp.bfloat16)
+        codes, scales = pack_mx_weights(w)
+        out = mx_matmul(x, codes, scales)
+        deq = (codes.astype(jnp.float32)
+               * expand_scale(scales.astype(jnp.float32), codes.shape, 64))
+        ref = jnp.dot(x, deq.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
