@@ -1,0 +1,106 @@
+"""End-to-end framework stories: the full PTQ pipeline (calibrate -> freeze
+-> eval -> export -> native verification) and the QAT-to-serving pipeline
+(train -> fold weights -> generate)."""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+from quantized_training_tpu.models.bert import (
+    BertConfig, BertForSequenceClassification,
+)
+from quantized_training_tpu.quantize import (
+    QConfig, QuantConfig, fold_quantized_weights, strip_weight_specs,
+)
+from quantized_training_tpu.compile import (
+    compile_report, dump_verification_tensors, export_stablehlo,
+)
+from quantized_training_tpu.serving import generate
+from quantized_training_tpu.training import (
+    TrainState, causal_lm_loss, make_train_step,
+)
+
+
+def test_ptq_pipeline(tmp_path):
+    """Calibrate a quantized BERT, freeze observers, export artifacts, and
+    verify two frozen runs agree via the native comparator."""
+    qc = QuantConfig(global_qconfig=QConfig.from_strs(
+        activation="e4m3,qs=per_tensor_symmetric",
+        weight="int8,qs=microscaling,bs=32,ax=-1",
+    ))
+    cfg = BertConfig.tiny()
+    model = BertForSequenceClassification(cfg, qc)
+    rng = np.random.default_rng(20)
+    calib = [jnp.asarray(rng.integers(0, 256, (4, 16))) for _ in range(3)]
+
+    variables = model.init(jax.random.PRNGKey(0), calib[0])
+    # calibration: observers on
+    for batch in calib:
+        _, upd = model.apply(variables, batch, mutable=["quant_state"])
+        variables = {**variables, "quant_state": upd["quant_state"]}
+    # frozen eval: deterministic
+    eval_ids = jnp.asarray(rng.integers(0, 256, (2, 16)))
+    out1 = model.apply(variables, eval_ids)
+    out2 = model.apply(variables, eval_ids)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    frozen = lambda ids: model.apply(variables, ids)
+    # export artifacts
+    hlo = export_stablehlo(frozen, (eval_ids,), str(tmp_path / "model.mlir"))
+    assert "module" in hlo
+    report = compile_report(frozen, (eval_ids,),
+                            str(tmp_path / "report.json"))
+    assert report["num_instructions"] > 0
+
+    # dump two runs and compare with the native tool
+    dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+    dump_verification_tensors(frozen, (eval_ids,), dir_a)
+    dump_verification_tensors(frozen, (eval_ids,), dir_b)
+    exe = os.path.join(os.path.dirname(__file__), "..", "native", "qtt-verify")
+    if not os.path.exists(exe) and shutil.which("make"):
+        subprocess.run(["make", "-C", os.path.dirname(exe)], check=True,
+                       capture_output=True)
+    if os.path.exists(exe):
+        r = subprocess.run([exe, dir_a, dir_b], capture_output=True, text=True)
+        assert r.returncode == 0, r.stdout
+
+
+def test_qat_to_serving_pipeline():
+    """QAT-train a quantized LLaMA briefly, fold weights for serving, and
+    generate with the KIVI cache — the full lifecycle."""
+    from quantized_training_tpu.serving import KVCacheConfig
+
+    qc = QuantConfig(global_qconfig=QConfig.from_strs(
+        activation="posit8_1", weight="posit8_1",
+        error="e5m2,qs=per_tensor_symmetric,qmax=57344",
+    )).with_fusion(forward="gemm", backward="gemm")
+    cfg = LlamaConfig.tiny(max_position_embeddings=64)
+    model = LlamaForCausalLM(cfg, qc)
+    rng = np.random.default_rng(21)
+    ids = jnp.asarray(rng.integers(0, 256, (4, 16)))
+
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    tx = optax.adam(1e-3)
+    state = TrainState.create(model, variables, tx)
+    step = make_train_step(model, tx,
+                           lambda logits, b: causal_lm_loss(logits, b))
+    for _ in range(3):
+        state, loss = step(state, {"input_ids": ids})
+    assert np.isfinite(float(loss))
+
+    # deployment: fold weights, serve with a quantized KV cache
+    folded = fold_quantized_weights(state.params, qc)
+    kcfg = KVCacheConfig.kivi(max_prefill=8, max_decode=8)
+    serve_cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+    serve_model = LlamaForCausalLM(serve_cfg, strip_weight_specs(qc))
+    out = generate(serve_model, {"params": folded}, ids[:1, :8],
+                   max_new_tokens=4)
+    assert out.shape == (1, 12)
