@@ -27,6 +27,7 @@ from .mobilebert import (
     MobileBertForSequenceClassification,
 )
 from .gpt2 import GPT2Config, GPT2LMHeadModel
+from .mamba import MambaConfig, MambaForCausalLM
 from . import hf_loader
 
 __all__ = [
@@ -55,5 +56,7 @@ __all__ = [
     "MobileBertForSequenceClassification",
     "GPT2Config",
     "GPT2LMHeadModel",
+    "MambaConfig",
+    "MambaForCausalLM",
     "hf_loader",
 ]

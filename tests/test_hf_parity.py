@@ -224,3 +224,25 @@ class TestWhisperParity:
         ours = model.apply({"params": params}, jnp.asarray(feats),
                            jnp.asarray(dec_ids))
         assert_close(ours, ref, label="whisper logits")
+
+
+class TestMambaParity:
+    def test_lm_matches_hf(self):
+        from quantized_training_tpu.models.mamba import (
+            MambaConfig, MambaForCausalLM, convert_mamba,
+        )
+        hf_cfg = transformers.MambaConfig(
+            vocab_size=128, hidden_size=32, state_size=8,
+            num_hidden_layers=2, intermediate_size=64,
+            conv_kernel=4, time_step_rank=4,
+        )
+        torch.manual_seed(5)
+        hf = transformers.MambaForCausalLM(hf_cfg).eval()
+        cfg = MambaConfig.tiny()
+        params = convert_mamba(hf.state_dict(), cfg.num_hidden_layers)
+        model = MambaForCausalLM(cfg, None)
+        ids = np.random.default_rng(17).integers(0, 128, (2, 12))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits
+        ours = model.apply({"params": params}, jnp.asarray(ids))
+        assert_close(ours, ref, rtol=3e-2, atol=3e-2, label="mamba logits")

@@ -189,3 +189,17 @@ class TestSegmentation:
             out = model.apply(vars_, imgs)
             assert out.shape == (1, 32, 32, 8)
             assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestMamba:
+    def test_quantized_mamba_runs(self):
+        from quantized_training_tpu.models.mamba import (
+            MambaConfig, MambaForCausalLM,
+        )
+        cfg = MambaConfig.tiny()
+        ids = jnp.asarray(np.random.default_rng(18).integers(0, 128, (2, 12)))
+        model = MambaForCausalLM(cfg, posit8())
+        vars_ = model.init(jax.random.PRNGKey(0), ids)
+        out = model.apply(vars_, ids)
+        assert out.shape == (2, 12, 128)
+        assert bool(jnp.all(jnp.isfinite(out)))
