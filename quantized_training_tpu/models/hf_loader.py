@@ -21,6 +21,7 @@ __all__ = [
     "convert_llama",
     "convert_bert",
     "convert_distilbert",
+    "convert_phi3",
     "convert_mobilebert",
 ]
 
@@ -214,4 +215,41 @@ def convert_distilbert(state: Dict, num_layers: int) -> Dict:
     for head in ("qa_outputs", "classifier", "pre_classifier"):
         if f"{head}.weight" in state:
             _dense(p, head, state, head)
+    return p
+
+
+def convert_phi3(state: Dict, num_layers: int, num_heads: int,
+                 num_kv_heads: int, head_dim: int) -> Dict:
+    """HF Phi3ForCausalLM -> LlamaForCausalLM params.
+
+    Phi-3 is architecturally LLaMA with fused projections (reference patches
+    its rotary for export, modules/pt2e/modeling_phi3.py; here no patching is
+    needed — we split qkv_proj into q/k/v and gate_up_proj into gate/up and
+    reuse the LLaMA module).
+    """
+    p: Dict = {}
+    _embed(p, "model/embed_tokens", state, "model.embed_tokens")
+    q_rows = num_heads * head_dim
+    kv_rows = num_kv_heads * head_dim
+    for i in range(num_layers):
+        hf = f"model.layers.{i}"
+        ours = f"model/layers_{i}"
+        qkv = _np(state[f"{hf}.self_attn.qkv_proj.weight"])
+        _set(p, f"{ours}/self_attn/q_proj/kernel", qkv[:q_rows].T)
+        _set(p, f"{ours}/self_attn/k_proj/kernel",
+             qkv[q_rows:q_rows + kv_rows].T)
+        _set(p, f"{ours}/self_attn/v_proj/kernel",
+             qkv[q_rows + kv_rows:].T)
+        _dense(p, f"{ours}/self_attn/o_proj", state, f"{hf}.self_attn.o_proj")
+        gate_up = _np(state[f"{hf}.mlp.gate_up_proj.weight"])
+        inter = gate_up.shape[0] // 2
+        _set(p, f"{ours}/mlp/gate_proj/kernel", gate_up[:inter].T)
+        _set(p, f"{ours}/mlp/up_proj/kernel", gate_up[inter:].T)
+        _dense(p, f"{ours}/mlp/down_proj", state, f"{hf}.mlp.down_proj")
+        _norm_(p, f"{ours}/input_layernorm", state, f"{hf}.input_layernorm")
+        _norm_(p, f"{ours}/post_attention_layernorm", state,
+               f"{hf}.post_attention_layernorm")
+    _norm_(p, "model/norm", state, "model.norm")
+    if "lm_head.weight" in state:
+        _dense(p, "lm_head", state, "lm_head")
     return p

@@ -246,3 +246,32 @@ class TestMambaParity:
             ref = hf(torch.tensor(ids)).logits
         ours = model.apply({"params": params}, jnp.asarray(ids))
         assert_close(ours, ref, rtol=3e-2, atol=3e-2, label="mamba logits")
+
+
+class TestPhi3Parity:
+    def test_phi3_via_llama_module(self):
+        """Phi-3 loads into our LLaMA module by splitting the fused
+        projections (the reference needed a rotary export patch instead)."""
+        from quantized_training_tpu.models.hf_loader import convert_phi3
+        hf_cfg = transformers.Phi3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(6)
+        hf = transformers.Phi3ForCausalLM(hf_cfg).eval()
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            dtype="float32",
+        )
+        params = convert_phi3(hf.state_dict(), 2, 4, 2, 16)
+        model = LlamaForCausalLM(cfg, None)
+        ids = np.random.default_rng(19).integers(0, 128, (2, 10))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits
+        ours = model.apply({"params": params}, jnp.asarray(ids))
+        assert_close(ours, ref, label="phi3 logits")
