@@ -104,3 +104,58 @@ def test_qat_to_serving_pipeline():
     out = generate(serve_model, {"params": folded}, ids[:1, :8],
                    max_new_tokens=4)
     assert out.shape == (1, 12)
+
+
+def test_gpt2_dtype_sweep_ppl():
+    """The BASELINE config shape: GPT-2 perplexity across FP8/FP6/FP4 with
+    the sliding-window protocol (synthetic tokens; asserts the sweep runs
+    and coarser formats do not *improve* ppl)."""
+    from quantized_training_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+    from quantized_training_tpu.utils.evaluation import (
+        sliding_window_perplexity,
+    )
+
+    cfg = GPT2Config.tiny()
+    rng = np.random.default_rng(22)
+    tokens = rng.integers(0, 256, 96)
+    fmodel = GPT2LMHeadModel(cfg, None)
+    vars_ = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(tokens[None, :32]))
+
+    ppls = {}
+    for dtype in [None, "e4m3", "fp6_e2m3", "fp4_e2m1"]:
+        qc = None
+        if dtype:
+            qc = QuantConfig(global_qconfig=QConfig.from_strs(
+                activation=dtype, weight=dtype)).with_fusion(forward="gemm")
+        model = GPT2LMHeadModel(cfg, qc)
+        fwd = jax.jit(lambda ids, model=model: model.apply(vars_, ids))
+        ppls[dtype or "bf16"] = sliding_window_perplexity(
+            fwd, tokens, max_length=32, stride=16)
+    assert all(np.isfinite(v) for v in ppls.values())
+    # fp4 must not beat the float model on the same weights
+    assert ppls["fp4_e2m1"] >= ppls["bf16"] * 0.8
+
+
+def test_no_retrace_across_steps():
+    """Repeated jitted calls must hit the cache (observer state threads as a
+    pytree; spec/config are static)."""
+    qc = QuantConfig(global_qconfig=QConfig.from_strs(
+        activation="e4m3,qs=per_tensor_symmetric",
+        weight="e4m3,qs=per_tensor_symmetric"))
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, qc)
+    ids = jnp.asarray(np.random.default_rng(23).integers(0, 256, (2, 8)))
+    variables = model.init(jax.random.PRNGKey(0), ids)
+
+    calls = {"n": 0}
+
+    @jax.jit
+    def step(variables, ids):
+        calls["n"] += 1  # traced once per cache miss
+        return model.apply(variables, ids, mutable=["quant_state"])
+
+    qs = variables["quant_state"]
+    for _ in range(4):
+        _, upd = step({**variables, "quant_state": qs}, ids)
+        qs = upd["quant_state"]
+    assert calls["n"] == 1
