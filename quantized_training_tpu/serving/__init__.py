@@ -11,7 +11,7 @@ from .kv_cache import (
     pack_codes,
     unpack_codes,
 )
-from .generate import generate
+from .generate import generate, fast_argmax
 
 __all__ = [
     "KVCacheConfig",
@@ -24,4 +24,5 @@ __all__ = [
     "pack_codes",
     "unpack_codes",
     "generate",
+    "fast_argmax",
 ]

@@ -21,6 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .generate import fast_argmax
 from .kv_cache import KVCacheConfig, init_cache, per_slot_mask
 
 __all__ = ["ContinuousBatchingEngine"]
@@ -125,7 +126,7 @@ class ContinuousBatchingEngine:
                 big, small_leaf.astype(big.dtype), start)
 
         self.cache = jax.tree_util.tree_map(merge, self.cache, small)
-        next_tok = int(jnp.argmax(logits[0, S - 1]))
+        next_tok = int(fast_argmax(logits[0, S - 1][None])[0])
         self.tokens = self.tokens.at[b, 0].set(next_tok)
         self.slots[b].generated = [next_tok]
 
@@ -142,7 +143,7 @@ class ContinuousBatchingEngine:
                 {**variables, "cache": cache}, tokens,
                 attention_mask=mask, positions=positions,
                 use_cache=True, mutable=["cache"])
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = fast_argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return upd["cache"], nxt
 
         self._decode = decode

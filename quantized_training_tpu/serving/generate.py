@@ -16,12 +16,27 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["generate"]
+__all__ = ["generate", "fast_argmax"]
+
+
+def fast_argmax(logits: jax.Array, axis: int = -1) -> jax.Array:
+    """argmax via max + masked index-min.
+
+    This environment's TPU compiler takes *minutes* to compile
+    ``jnp.argmax`` over a vocab axis inside a decode program (the variadic
+    reduce path); two plain reductions compile in seconds and pick the same
+    first-occurrence index on ties.
+    """
+    m = jnp.max(logits, axis=axis, keepdims=True)
+    idx = jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, axis if axis >= 0 else logits.ndim + axis)
+    big = jnp.iinfo(jnp.int32).max
+    return jnp.min(jnp.where(logits == m, idx, big), axis=axis)
 
 
 def _sample(logits, rng, temperature: float, top_k: Optional[int]):
     if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1)
+        return fast_argmax(logits, axis=-1)
     logits = logits / temperature
     if top_k is not None:
         top_vals, _ = jax.lax.top_k(logits, top_k)
