@@ -81,7 +81,10 @@ def generate(
     next_tok = _sample(logits[:, -1], step_rng, temperature, top_k)
 
     @jax.jit
-    def decode_step(cache, tok, pos, rng):
+    def decode_step(variables, cache, tok, pos, rng):
+        # variables passed as an argument: closing over them would bake the
+        # full parameter tree into the program as constants (gigabytes) and
+        # blow up compile time on some backends.
         logits, upd = model.apply(
             {**variables, "cache": cache},
             tok[:, None], use_cache=True, cache_index=pos,
@@ -91,11 +94,12 @@ def generate(
         nxt = _sample(logits[:, -1], step_rng, temperature, top_k)
         return upd["cache"], nxt, rng
 
+    var_args = {k: v for k, v in variables.items() if k != "cache"}
     tokens = [next_tok]
     pos = S
     for _ in range(max_new_tokens - 1):
         cache, next_tok, rng = decode_step(
-            cache, tokens[-1], jnp.asarray(pos, jnp.int32), rng
+            var_args, cache, tokens[-1], jnp.asarray(pos, jnp.int32), rng
         )
         tokens.append(next_tok)
         pos += 1
