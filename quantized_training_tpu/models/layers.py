@@ -155,17 +155,26 @@ class QuantMixin:
 
     def quant_residual(self, a: jax.Array, b: jax.Array,
                        hook: Optional[str] = None) -> jax.Array:
-        """Residual add with both inputs quantized (AddFunctional)."""
+        """Residual add with both inputs quantized (AddFunctional).
+
+        The sum is pinned to the model dtype: the reference's AddFunctional
+        produces a real bf16 tensor, and XLA's excess-precision fusion would
+        otherwise leak an f32 sum into downstream norm statistics /
+        quantizers, making jit diverge from eager (bitutils
+        .materialize_rounding)."""
+        from ..numerics.bitutils import materialize_rounding
         a = self.quant_input(a, "add", OpCategory.RESIDUAL, 0, hook=hook)
         b = self.quant_input(b, "add", OpCategory.RESIDUAL, 1, hook=hook)
-        return a + b
+        return materialize_rounding(a + b)
 
     def quant_mul(self, a: jax.Array, b: jax.Array,
                   hook: Optional[str] = None) -> jax.Array:
-        """Elementwise scaling with quantized inputs (MulFunctional)."""
+        """Elementwise scaling with quantized inputs (MulFunctional); the
+        product is pinned to the model dtype like quant_residual."""
+        from ..numerics.bitutils import materialize_rounding
         a = self.quant_input(a, "mul", OpCategory.SCALING, 0, hook=hook)
         b = self.quant_input(b, "mul", OpCategory.SCALING, 1, hook=hook)
-        return a * b
+        return materialize_rounding(a * b)
 
     def quant_activation_input(self, x: jax.Array, op: str) -> jax.Array:
         return self.quant_input(x, op, OpCategory.ACTIVATION, 0)

@@ -46,6 +46,12 @@ class LlamaConfig:
     # hooks fused in).  Falls back to the naive path when the config needs
     # sites flash cannot host (posit softmax, scaling/softmax-input quant).
     use_flash_attention: bool = False
+    # Route eligible KIVI decode steps through the fused dequant-attention
+    # Pallas kernel (cache codes dequantized in VMEM; the dequantized K/V
+    # never touch HBM).  Falls back to cache_kv + naive attention when the
+    # cache is unquantized, a custom mask is passed, or attention sites are
+    # themselves quantized.
+    use_fused_kivi: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -108,6 +114,7 @@ class LlamaAttention(nn.Module, QuantMixin):
         positions: jax.Array,
         use_cache: bool = False,
         cache_index: Optional[jax.Array] = None,
+        prompt_len: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
@@ -145,7 +152,10 @@ class LlamaAttention(nn.Module, QuantMixin):
                 lambda: init_cache(kcfg, B, KV, D, dtype))
             if S > 1:
                 # Prefill: attend over the raw K/V; store them quantized.
-                cache_var.value = prefill_cache(cache_var.value, kcfg, k, v)
+                # prompt_len zeroes padded slots so a fixed-shape padded
+                # prefill stores identical cache content to a true-length one.
+                cache_var.value = prefill_cache(
+                    cache_var.value, kcfg, k, v, length=prompt_len)
             else:
                 if cache_var.value.res_len.ndim == 1:
                     # continuous-batching mode: per-slot residual indices
@@ -153,6 +163,36 @@ class LlamaAttention(nn.Module, QuantMixin):
                     cache_var.value = append_per_slot(cache_var.value, k, v)
                 else:
                     cache_var.value = append_to_cache(cache_var.value, k, v)
+
+                c = cache_var.value
+                per_slot = c.res_len.ndim == 1
+                ml = c.main_len if per_slot else jnp.broadcast_to(
+                    c.main_len[None], (B,))
+                rl = c.res_len if per_slot else jnp.broadcast_to(
+                    c.res_len[None], (B,))
+                if attention_mask is None and self._kivi_fused_eligible(kcfg, D):
+                    # Fused dequant-attention: codes + scales + residual read
+                    # directly, mask derived from the cache's own lengths
+                    # (exact for any prompt length, scalar or per-slot).
+                    from ..ops.pallas.kivi_attention import (
+                        kivi_decode_attention,
+                    )
+                    ctx = kivi_decode_attention(
+                        q[:, 0], c.k_codes, c.k_scale, c.k_zp,
+                        c.v_codes, c.v_scale, c.v_zp,
+                        c.k_res.astype(dtype), c.v_res.astype(dtype),
+                        ml, rl,
+                        bits_k=kcfg._pack_bits(kcfg.k_spec),
+                        bits_v=kcfg._pack_bits(kcfg.v_spec),
+                    )
+                    ctx = ctx.reshape(B, 1, H * D)
+                    return dense(cfg.hidden_size, "o_proj")(ctx)
+                if attention_mask is None:
+                    # Naive decode without an external mask: build it from
+                    # the cache lengths (post-append: res slot r visible iff
+                    # r < res_len, i.e. per_slot_mask with res_len - 1).
+                    from ..serving.kv_cache import per_slot_mask
+                    attention_mask = per_slot_mask(kcfg, ml, rl - 1)
                 k, v = cache_kv(cache_var.value, kcfg, dtype)
         elif use_cache:
             # Static-shape full-precision decode cache.
@@ -176,6 +216,39 @@ class LlamaAttention(nn.Module, QuantMixin):
                 q, k, v, attention_mask, use_cache, cache_index, B, S)
         ctx = ctx.reshape(B, S, H * D)
         return dense(cfg.hidden_size, "o_proj")(ctx)
+
+    # -- fused KIVI decode path ---------------------------------------------
+
+    def _kivi_fused_eligible(self, kcfg, D) -> bool:
+        """Static gate for the fused dequant-attention decode kernel.
+
+        Requires: config flag on, both cache sides quantized in the KIVI
+        group layout (K along tokens, V along features), MXU-friendly head
+        dim on TPU, and no quantization hooks on the attention matmuls /
+        scaling / softmax (those need the naive path's explicit sites)."""
+        cfg = self.config
+        if not cfg.use_fused_kivi:
+            return False
+        if kcfg.k_spec is None or kcfg.v_spec is None:
+            return False
+        if kcfg.k_spec.ch_axis != 1 or kcfg.v_spec.ch_axis != 3:
+            return False
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        if platform == "tpu" and D % 128 != 0:
+            return False
+        cfg_q = self._qconfig()
+        if cfg_q is None:
+            return True
+        path = self._path_str
+        sites = [
+            cfg_q.activation_spec(path, "matmul", OpCategory.GEMM, 0),
+            cfg_q.activation_spec(path, "matmul", OpCategory.GEMM, 1),
+            cfg_q.activation_spec(path, "mul", OpCategory.SCALING, 0),
+            cfg_q.activation_spec(path, "softmax", OpCategory.ACTIVATION, 0),
+            cfg_q.error_spec(path, "matmul", OpCategory.GEMM, 0),
+        ]
+        return all(s is None for s in sites)
 
     # -- flash path ---------------------------------------------------------
 
@@ -319,12 +392,13 @@ class LlamaDecoderLayer(nn.Module, QuantMixin):
 
     @nn.compact
     def __call__(self, hidden, attention_mask, positions,
-                 use_cache=False, cache_index=None):
+                 use_cache=False, cache_index=None, prompt_len=None):
         cfg = self.config
         normed = QRMSNorm(epsilon=cfg.rms_norm_eps, dtype=jnp.dtype(cfg.dtype),
                           qconfig=self.qconfig, name="input_layernorm")(hidden)
         attn_out = LlamaAttention(cfg, self.qconfig, name="self_attn")(
-            normed, attention_mask, positions, use_cache, cache_index
+            normed, attention_mask, positions, use_cache, cache_index,
+            prompt_len,
         )
         hidden = self.quant_residual(hidden, attn_out, hook="attn_residual")
 
@@ -358,7 +432,7 @@ class LlamaModel(nn.Module, QuantMixin):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, positions=None,
-                 use_cache=False, cache_index=None):
+                 use_cache=False, cache_index=None, prompt_len=None):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         B, S = input_ids.shape
@@ -376,19 +450,18 @@ class LlamaModel(nn.Module, QuantMixin):
         if attention_mask is None:
             if use_cache and cfg.kv_cache is not None:
                 if S > 1:
-                    # kivi prefill attends over the current tokens only
+                    # kivi prefill attends over the current tokens only; with
+                    # a padded fixed-shape prefill, prompt_len also masks the
+                    # pad slots.
                     attention_mask = causal_mask(B, S, S, 0)
-                else:
-                    # Default decode mask assumes a full prefill; generators
-                    # with shorter prefills pass attention_mask explicitly.
-                    from ..serving.kv_cache import residual_causal_mask
-                    kcfg = cfg.kv_cache
-                    pos = cache_index if cache_index is not None else kcfg.max_prefill
-                    attention_mask = residual_causal_mask(
-                        kcfg, B, S,
-                        main_len=jnp.asarray(kcfg.max_prefill, jnp.int32),
-                        res_len=jnp.asarray(pos, jnp.int32) - kcfg.max_prefill,
-                    )
+                    if prompt_len is not None:
+                        kv_pos = jnp.arange(S)[None, None, None, :]
+                        attention_mask = jnp.where(
+                            kv_pos < prompt_len, attention_mask, MASK_VALUE)
+                # S == 1 decode: leave the mask None — the attention layer
+                # owns the cache and derives the exact visibility from its
+                # main_len/res_len (scalar or per-slot), or fuses it into
+                # the dequant-attention kernel.
             elif use_cache:
                 kv_len = cfg.max_position_embeddings
                 offset = cache_index if cache_index is not None else 0
@@ -404,7 +477,8 @@ class LlamaModel(nn.Module, QuantMixin):
         for i in range(cfg.num_hidden_layers):
             hidden = LlamaDecoderLayer(
                 cfg, self.qconfig, name=f"layers_{i}"
-            )(hidden, attention_mask, positions, use_cache, cache_index)
+            )(hidden, attention_mask, positions, use_cache, cache_index,
+              prompt_len)
 
         return QRMSNorm(epsilon=cfg.rms_norm_eps, dtype=dtype,
                         qconfig=self.qconfig, name="norm")(hidden)
@@ -416,10 +490,11 @@ class LlamaForCausalLM(nn.Module, QuantMixin):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, positions=None,
-                 use_cache=False, cache_index=None):
+                 use_cache=False, cache_index=None, prompt_len=None):
         cfg = self.config
         hidden = LlamaModel(cfg, self.qconfig, name="model")(
-            input_ids, attention_mask, positions, use_cache, cache_index
+            input_ids, attention_mask, positions, use_cache, cache_index,
+            prompt_len,
         )
         if cfg.tie_word_embeddings:
             embed = self.variables["params"]["model"]["embed_tokens"]["embedding"]

@@ -17,6 +17,41 @@ F32_FRAC_MASK = 0x007FFFFF
 F32_EXP_BIAS = 127
 
 
+@jax.custom_vjp
+def materialize_rounding(x: jax.Array) -> jax.Array:
+    """Force the array's nominal-dtype rounding to actually happen.
+
+    XLA compiles with ``--xla_allow_excess_precision`` on by default: inside
+    a fused region, an f32→bf16→f32 convert chain may be elided so a chain of
+    "bf16" elementwise ops silently runs in full f32.  That is harmless for
+    ordinary math but wrong at a quantizer boundary — the bit-exact kernels
+    (and the reference they are pinned to) quantize the genuinely *rounded*
+    model-dtype value, and eager vs jit vs sharded execution must agree.
+
+    A bitcast round-trip pins the representation: a convert whose result
+    feeds a bitcast cannot be elided.  No-op for f32 inputs.  Identity
+    gradient (bitcast has no VJP of its own, and the op *is* the identity on
+    values already in their nominal dtype).
+    """
+    return _materialize_value(x)
+
+
+def _materialize_value(x: jax.Array) -> jax.Array:
+    if x.dtype == jnp.bfloat16:
+        return jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.uint16), jnp.bfloat16)
+    if x.dtype == jnp.float16:
+        return jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.uint16), jnp.float16)
+    return x
+
+
+materialize_rounding.defvjp(
+    lambda x: (_materialize_value(x), None),
+    lambda _, g: (g,),
+)
+
+
 def f32_bits(x: jax.Array) -> jax.Array:
     """View a float array's float32 representation as int32 bits."""
     return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)

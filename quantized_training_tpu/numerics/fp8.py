@@ -91,7 +91,7 @@ def quantize_to_fp8_e5m2(
 # Generic fpN_eXmY element-wise quantizer (microscaling-style)
 # ---------------------------------------------------------------------------
 
-def _round_mantissa(a: jax.Array, mode: str) -> jax.Array:
+def _round_mantissa(a: jax.Array, mode: str, key=None) -> jax.Array:
     """Round a mantissa that has been scaled into the integer range.
 
     Uses the sign *bit* rather than jnp.sign so that negative values rounding
@@ -99,6 +99,13 @@ def _round_mantissa(a: jax.Array, mode: str) -> jax.Array:
     flushes subnormals.  Exact-zero inputs are fixed to +0 by the caller.
     """
     sgn = signum_nonzero(a)
+    if mode == "dither":
+        # stochastic rounding (reference fp8.py:117-118: floor(|a| + U[0,1)))
+        if key is None:
+            raise ValueError("round_mode='dither' needs a PRNG key")
+        rand = jax.random.uniform(key, a.shape, dtype=jnp.float32).astype(
+            a.dtype)
+        return sgn * jnp.floor(jnp.abs(a) + rand)
     if mode == "floor":
         return sgn * jnp.floor(jnp.abs(a))
     if mode == "nearest":
@@ -139,6 +146,7 @@ def quantize_elemwise(
     round_mode: str = "nearest",
     saturate_normals: bool = False,
     allow_denorm: bool = True,
+    key=None,
 ) -> jax.Array:
     """Quantize to a float format with ``exp_bits`` exponent / ``bits``
     mantissa bits (mantissa count includes sign and implicit leading one).
@@ -162,7 +170,7 @@ def quantize_elemwise(
         pow2_exp = None
         out = out * (2.0 ** (bits - 2))
 
-    out = _round_mantissa(out, round_mode)
+    out = _round_mantissa(out, round_mode, key=key)
 
     if pow2_exp is None:
         out = out / (2.0 ** (bits - 2))

@@ -3,10 +3,11 @@
 The reference framework makes attention quantizable by splitting it per head
 and inserting fake-quant nodes around the qk / av matmuls, softmax and the
 scaling mul (reference: mapping.py:285-383, modules/quantizable/*).  On TPU
-the same fusion ladder is achieved by *composing the quantizers into the
-attention kernel itself*: q/k/v tiles are rounded in VMEM right before they
-feed the MXU, and the probability tiles are rounded before the av matmul —
-the (B, H, S, S) score tensor never exists in HBM at all.
+the (B, H, S, S) score tensor never exists in HBM at all, and the
+*probability* quantizer runs inside the kernel (p never exists outside it).
+The q/k/v quantizers are elementwise, so they are hoisted to XLA — one fused
+pass per tensor instead of one per grid step — and the kernel consumes the
+pre-rounded operands; only p_qfn executes in-kernel.
 
 Online-softmax notes:
   * q/k/v quantization hooks are exact (elementwise on tiles).
@@ -190,6 +191,10 @@ def flash_attention(
     # probability quantizer must run inside (p never exists outside).
     # Straight-through so gradients pass the (non-differentiable) rounding.
     def _ste(fn, x):
+        # materialize: the hoisted quantize runs in the XLA graph, where
+        # excess-precision fusion could feed it an unrounded f32 value.
+        from ...numerics.bitutils import materialize_rounding
+        x = materialize_rounding(x)
         return x + jax.lax.stop_gradient(fn(x) - x)
 
     if q_qfn is not None:

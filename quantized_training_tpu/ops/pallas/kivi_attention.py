@@ -1,0 +1,240 @@
+"""Fused dequantize-attention for KIVI decode (Pallas/Mosaic TPU kernel).
+
+The point of a quantized KV cache is that it pays for itself at decode: the
+reference fuses the cache dequantize into the attention consumers
+(reference: llm_utils.py:115-243 KIVI attention; llm_utils.py:829-997
+fuse_dequantize_quantize collapses dq->q chains over cache slices).  The
+round-1 TPU path instead materialized the full dequantized K/V in HBM every
+step (serving/kv_cache.py cache_kv) — paying the bf16 write + read on top of
+the code read, which made the uint2 cache *slower* than the fp cache.
+
+This kernel reads the cache codes (optionally bit-packed token-planar
+uint2/4), per-group scales/zero-points, and the fp residual directly from
+HBM and dequantizes tiles in VMEM; the dequantized K/V never touch HBM.
+
+Per-(batch, kv-head) grid step, entirely in VMEM:
+  * unpack planes (constant shifts, sublane concat) if packed
+  * dequantize K/V: scale/zp group expansion is done with a 0/1 expansion
+    matmul on the MXU (E_P @ scale) — robust on Mosaic, free next to the
+    memory time (decode attention is HBM-bandwidth-bound)
+  * masked scores over [main; residual], f32 softmax, weighted sum
+
+Visibility convention (post-append): main slot t visible iff t < main_len,
+residual slot r visible iff r < res_len — equivalent to the model's
+residual_causal_mask / per_slot_mask applied after the current token's K/V
+was appended at index res_len-1.
+
+Shapes: q (B, H, D); codes (B, P[*bits/8], KV, D); k scales (B, P/bsK, KV, D);
+v scales (B, P, KV, D/bsV); residual (B, R, KV, D); lengths (B,) int32.
+"""
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["kivi_decode_attention"]
+
+NEG_INF = -2.0 ** 30
+
+
+def _unpack_planar(codes_u8, bits: int):
+    """(Pc, D) packed uint8 -> (P, D) int32 codes, token-planar order."""
+    if bits is None:
+        return codes_u8.astype(jnp.int32)
+    per = 8 // bits
+    c = codes_u8.astype(jnp.int32)
+    mask = (1 << bits) - 1
+    planes = [(c >> (bits * s)) & mask for s in range(per)]
+    return jnp.concatenate(planes, axis=0)
+
+
+def _expansion_matrix(n: int, groups: int):
+    """(n, groups) 0/1 f32 matrix E with E[i, g] = 1 iff i // bs == g."""
+    bs = n // groups
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, groups), 0)
+    g = jax.lax.broadcasted_iota(jnp.int32, (n, groups), 1)
+    return jnp.where(i // bs == g, 1.0, 0.0).astype(jnp.float32)
+
+
+def _kernel(
+    main_ref, res_ref,            # SMEM (1,) lengths for this batch row
+    q_ref, kc_ref, ks_ref, kz_ref, vc_ref, vs_ref, vz_ref, kr_ref, vr_ref,
+    o_ref,
+    *,
+    scale: float, P: int, bits_k: Optional[int], bits_v: Optional[int],
+    gP: int, gD: int,
+):
+    ml = main_ref[0, 0]
+    rl = res_ref[0, 0]
+
+    qf = q_ref[0].astype(jnp.float32) * scale          # (group, D)
+    group, D = qf.shape
+
+    # ---- K main: unpack + dequantize in VMEM --------------------------------
+    kc = _unpack_planar(kc_ref[0, :, 0, :], bits_k).astype(jnp.float32)
+    ep = _expansion_matrix(P, gP)                       # (P, gP)
+    ks = jax.lax.dot_general(                           # (P, D) expanded scale
+        ep, ks_ref[0, :, 0, :].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    kz = jax.lax.dot_general(
+        ep, kz_ref[0, :, 0, :].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    k = (kc - kz) * ks                                  # (P, D) f32
+
+    s_main = jax.lax.dot_general(                       # (group, P)
+        qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (group, P), 1)
+    s_main = jnp.where(t_idx < ml, s_main, NEG_INF)
+
+    # ---- residual scores ----------------------------------------------------
+    kr = kr_ref[0, :, 0, :].astype(jnp.float32)         # (R, D)
+    R = kr.shape[0]
+    s_res = jax.lax.dot_general(
+        qf, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (group, R), 1)
+    s_res = jnp.where(r_idx < rl, s_res, NEG_INF)
+
+    # ---- softmax over [main; residual] --------------------------------------
+    m = jnp.maximum(jnp.max(s_main, axis=1, keepdims=True),
+                    jnp.max(s_res, axis=1, keepdims=True))
+    p_main = jnp.exp(s_main - m)
+    p_res = jnp.exp(s_res - m)
+    l = (jnp.sum(p_main, axis=1, keepdims=True)
+         + jnp.sum(p_res, axis=1, keepdims=True))
+
+    # ---- V main: unpack + dequantize ---------------------------------------
+    vc = _unpack_planar(vc_ref[0, :, 0, :], bits_v).astype(jnp.float32)
+    ed = _expansion_matrix(D, gD)                       # (D, gD)
+    # scales are (P, gD): expand along lanes via (P,gD) @ (gD,D)
+    vs = jax.lax.dot_general(
+        vs_ref[0, :, 0, :].astype(jnp.float32), ed,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    vz = jax.lax.dot_general(
+        vz_ref[0, :, 0, :].astype(jnp.float32), ed,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    v = (vc - vz) * vs                                  # (P, D)
+
+    vr = vr_ref[0, :, 0, :].astype(jnp.float32)         # (R, D)
+    acc = jax.lax.dot_general(
+        p_main, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(
+        p_res, vr, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def kivi_decode_attention(
+    q: jax.Array,
+    k_codes: jax.Array, k_scale: jax.Array, k_zp: jax.Array,
+    v_codes: jax.Array, v_scale: jax.Array, v_zp: jax.Array,
+    k_res: jax.Array, v_res: jax.Array,
+    main_len: jax.Array, res_len: jax.Array,
+    *,
+    bits_k: Optional[int] = None,
+    bits_v: Optional[int] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """One decode step of attention over the two-tier quantized cache.
+
+    q: (B, H, D).  k/v_codes: (B, P*, KV, D) with P* = P (unpacked int8) or
+    P*bits/8 (token-planar packed uint8).  k_scale/k_zp: (B, P/bsK, KV, D);
+    v_scale/v_zp: (B, P, KV, D/bsV).  k_res/v_res: (B, R, KV, D) bf16.
+    main_len/res_len: (B,) int32 — post-append visibility counts.
+    Returns (B, H, D) in q.dtype.
+    """
+    B, H, D = q.shape
+    _, Pc, KV, _ = k_codes.shape
+    P = Pc * (8 // bits_k) if bits_k else Pc
+    R = k_res.shape[1]
+    gP = k_scale.shape[1]
+    gD = v_scale.shape[3]
+    group = H // KV
+    assert H % KV == 0, (H, KV)
+
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if interpret is None:
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        interpret = platform != "tpu"
+
+    kernel = functools.partial(
+        _kernel, scale=scale, P=P, bits_k=bits_k, bits_v=bits_v,
+        gP=gP, gD=gD,
+    )
+    grid = (B, KV)
+
+    def _bh(b, kv):
+        return (b, kv, 0)
+
+    def _cache(b, kv):
+        return (b, 0, kv, 0)
+
+    def _len(b, kv):
+        return (b, 0)
+
+    Pv = v_codes.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), _len, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), _len, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, D), _bh),
+            pl.BlockSpec((1, Pc, 1, D), _cache),
+            pl.BlockSpec((1, gP, 1, D), _cache),
+            pl.BlockSpec((1, gP, 1, D), _cache),
+            pl.BlockSpec((1, Pv, 1, D), _cache),
+            pl.BlockSpec((1, P, 1, gD), _cache),
+            pl.BlockSpec((1, P, 1, gD), _cache),
+            pl.BlockSpec((1, R, 1, D), _cache),
+            pl.BlockSpec((1, R, 1, D), _cache),
+        ],
+        out_specs=pl.BlockSpec((1, group, D), _bh),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(
+        main_len.astype(jnp.int32).reshape(B, 1),
+        res_len.astype(jnp.int32).reshape(B, 1),
+        q, k_codes, k_scale, k_zp, v_codes, v_scale, v_zp, k_res, v_res,
+    )
+    return out
+
+
+def kivi_decode_attention_sharded(
+    mesh, q, k_codes, k_scale, k_zp, v_codes, v_scale, v_zp,
+    k_res, v_res, main_len, res_len, *,
+    data_axis: str = "data", model_axis: str = "model", **kwargs,
+) -> jax.Array:
+    """Multi-chip fused decode: batch sharded over ``data_axis``, kv heads
+    over ``model_axis``; each chip runs the kernel on its local shard — the
+    grid is (B, KV) so both axes partition with zero collectives (the o_proj
+    that follows is row-parallel and carries the layer's single psum).
+
+    Requires B % data and KV % model == 0 (and H % KV == 0 locally).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    d, m = data_axis, model_axis
+    q_spec = P(d, m, None)
+    cache_spec = P(d, None, m, None)
+    len_spec = P(d)
+    fn = functools.partial(kivi_decode_attention, **kwargs)
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(q_spec,) + (cache_spec,) * 8 + (len_spec, len_spec),
+        out_specs=q_spec,
+        check_rep=False,
+    )(q, k_codes, k_scale, k_zp, v_codes, v_scale, v_zp,
+      k_res, v_res, main_len, res_len)

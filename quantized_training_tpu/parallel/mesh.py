@@ -49,13 +49,19 @@ def local_mesh(model: Optional[int] = None) -> Mesh:
 def initialize_multihost(coordinator_address=None, num_processes=None,
                          process_id=None):
     """Join a multi-host job (DCN).  Thin wrapper over
-    jax.distributed.initialize; no-op when already initialized or single-host
-    env vars are absent."""
+    jax.distributed.initialize.
+
+    Errors propagate: a misconfigured multi-host job must fail loudly, not
+    silently degrade to single-host.  The only swallowed case is calling this
+    twice (already-initialized), which is a harmless no-op.
+    """
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise

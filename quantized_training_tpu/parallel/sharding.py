@@ -56,8 +56,16 @@ def shard_rules_llama() -> Rules:
         # per-channel fake-quant state follows its tensor's sharded axis when
         # ch_axis is the output dim; scalar state replicates
         (r"quant_state.*", P()),
-        # KV cache: shard heads over the model axis, batch over data
+        # fp KV cache: shard heads over the model axis, batch over data
         (r"cache_[kv]$", P(DATA_AXIS, None, m, None)),
+        # KIVI quantized cache (QuantizedKVCache leaves): lengths replicate;
+        # codes (B, P*, KV, D), k scales (B, gP, KV, D), v scales
+        # (B, P, KV, gD) and fp residuals (B, R, KV, D) all shard batch over
+        # data and kv-heads over model (the divisibility guard in
+        # apply_sharding_rules drops an axis that doesn't divide, e.g. tiny
+        # KV counts on wide meshes).
+        (r"\.kivi\.(main_len|res_len)$", P()),
+        (r"\.kivi\.", P(DATA_AXIS, None, m, None)),
     )
 
 
@@ -78,26 +86,51 @@ def shard_rules_transformer() -> Rules:
     )
 
 
+def _key_str(k) -> str:
+    # DictKey -> .key, GetAttrKey (NamedTuple fields like kivi.k_codes)
+    # -> .name, SequenceKey -> .idx
+    for attr in ("key", "name", "idx"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
 def _path_str(path) -> str:
-    return ".".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+    return ".".join(_key_str(k) for k in path)
+
+
+def _axis_size(mesh: Mesh, axis) -> int:
+    if axis is None:
+        return 1
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
 
 
 def apply_sharding_rules(
     tree, mesh: Mesh, rules: Rules, default: P = P()
 ):
     """NamedSharding pytree matching ``tree`` by regex rules (first match
-    wins)."""
+    wins).  Axes the leaf doesn't have are dropped, and an axis whose mesh
+    size doesn't divide the corresponding dim falls back to replicated for
+    that dim (small head counts / scale-group dims on wide meshes)."""
 
     def resolve(path, leaf):
         p = _path_str(path)
         for pattern, spec in rules:
             if re.search(pattern, p):
-                # Drop axes the leaf doesn't have (scalar scale state etc.).
-                if len(spec) > getattr(leaf, "ndim", 0):
-                    spec_ = P(*list(spec)[: getattr(leaf, "ndim", 0)])
-                else:
-                    spec_ = spec
-                return NamedSharding(mesh, spec_)
+                ndim = getattr(leaf, "ndim", 0)
+                shape = getattr(leaf, "shape", ())
+                entries = list(spec)[:ndim]
+                fixed = [
+                    ax if (ax is None or shape[d] % _axis_size(mesh, ax) == 0)
+                    else None
+                    for d, ax in enumerate(entries)
+                ]
+                return NamedSharding(mesh, P(*fixed))
         return NamedSharding(mesh, default)
 
     return jax.tree_util.tree_map_with_path(resolve, tree)

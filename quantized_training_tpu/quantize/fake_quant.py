@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..numerics import quantize_fn, normalize_axes, reshape_to_blocks
-from ..numerics.bitutils import clamp_keep_zero_sign
+from ..numerics.bitutils import clamp_keep_zero_sign, materialize_rounding
 from ..qspec import QScheme, QuantizationSpec
 from .ops import calculate_mx_qparam, expand_scale
 
@@ -147,10 +147,15 @@ def _observe_amax(
 
 
 def _apply_scale_quant(x, scale, spec: QuantizationSpec):
-    """vmap(input / scale, qmap) * scale, in the input dtype."""
+    """vmap(input / scale, qmap) * scale, in the input dtype.
+
+    The quotient is pinned to the input dtype before the quantizer: XLA's
+    excess-precision fusion would otherwise feed the bit-exact kernel an
+    unrounded f32 value, making jit results diverge from eager/reference
+    (see numerics.bitutils.materialize_rounding)."""
     qfn = quantize_fn(spec.dtype)
     scale = scale.astype(x.dtype)
-    return qfn(x / scale) * scale
+    return qfn(materialize_rounding(x / scale)) * scale
 
 
 def _mx_value(x, spec: QuantizationSpec):
@@ -162,7 +167,8 @@ def _mx_value(x, spec: QuantizationSpec):
         x, axes, block_size, spec.quant_max,
         spec.force_scale_power_of_two, scale_qfn,
     )
-    q = qfn(x / expand_scale(scale, x.shape, block_size))
+    q = qfn(materialize_rounding(
+        x / expand_scale(scale, x.shape, block_size)))
     return q * expand_scale(scale, x.shape, block_size), scale
 
 
@@ -188,7 +194,8 @@ def _group_affine_value(x, spec: QuantizationSpec):
     sfe = expand_scale(sf, x.shape, spec.block_size)
     zpe = expand_scale(zp, x.shape, spec.block_size)
     q = clamp_keep_zero_sign(
-        jnp.round(x / sfe + zpe), spec.quant_min, spec.quant_max
+        jnp.round(materialize_rounding(x / sfe + zpe)),
+        spec.quant_min, spec.quant_max
     )
     return (q - zpe) * sfe, (sf, zp)
 
@@ -222,7 +229,7 @@ def fake_quantize(
         # "--activation posit8_1" with no qscheme).
         if not quantize:
             return x, state
-        y = straight_through(quantize_fn(spec.dtype))(x)
+        y = straight_through(quantize_fn(spec.dtype))(materialize_rounding(x))
         return y, state
 
     # Outlier masking: quantize only |x| < threshold, restore outliers after

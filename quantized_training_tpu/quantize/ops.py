@@ -312,4 +312,7 @@ def to_csr(dense, max_nnz: int):
     idx_p = np.zeros(max_nnz, dtype=np.int32)
     data_p[:actual] = data[:actual]
     idx_p[:actual] = c[:actual]
+    # When nnz > max_nnz the tail is truncated; clamp indptr so row pointers
+    # never index past the padded data/indices arrays.
+    indptr = np.minimum(indptr, actual).astype(np.int32)
     return data_p, idx_p, indptr

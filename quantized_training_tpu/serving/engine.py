@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .generate import fast_argmax
-from .kv_cache import KVCacheConfig, init_cache, per_slot_mask
+from .kv_cache import KVCacheConfig
 
 __all__ = ["ContinuousBatchingEngine"]
 
@@ -59,7 +59,9 @@ class ContinuousBatchingEngine:
         self._next_id = 0
         self.tokens = jnp.zeros((batch_slots, 1), jnp.int32)
         self._decode = None
-        self._dummy = jnp.zeros((batch_slots, 8), jnp.int32)
+        self._prefill = None
+        self._dummy = jnp.zeros(
+            (batch_slots, min(8, self.kcfg.max_prefill)), jnp.int32)
 
     # ------------------------------------------------------------------ API
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int) -> int:
@@ -112,10 +114,13 @@ class ContinuousBatchingEngine:
         S = len(ids)
         padded = np.zeros((1, P), np.int32)
         padded[0, :S] = ids
-        # batch-1 prefill builds a quantized single-slot cache
-        logits, upd = self.model.apply(
-            self.variables, jnp.asarray(padded[:, :S]), use_cache=True,
-            cache_index=0, mutable=["cache"])
+        # Fixed-shape padded prefill with the true length threaded through:
+        # one compile serves every prompt length (this backend's compiles
+        # cost 30s-5min each).  prompt_len masks pad slots in attention and
+        # zeroes their K/V before cache quantization, so the stored cache is
+        # bit-identical to a true-length prefill.
+        logits, upd = self._prefill_fn()(
+            self.variables, jnp.asarray(padded), jnp.asarray(S, jnp.int32))
         small = upd["cache"]
 
         def merge(big, small_leaf):
@@ -126,9 +131,23 @@ class ContinuousBatchingEngine:
                 big, small_leaf.astype(big.dtype), start)
 
         self.cache = jax.tree_util.tree_map(merge, self.cache, small)
+        # last *real* token's logits (host-side gather; S is host-known)
         next_tok = int(fast_argmax(logits[0, S - 1][None])[0])
         self.tokens = self.tokens.at[b, 0].set(next_tok)
         self.slots[b].generated = [next_tok]
+
+    def _prefill_fn(self):
+        if getattr(self, "_prefill", None) is None:
+            model = self.model
+
+            @jax.jit
+            def prefill(variables, padded_ids, prompt_len):
+                return model.apply(
+                    variables, padded_ids, use_cache=True, cache_index=0,
+                    prompt_len=prompt_len, mutable=["cache"])
+
+            self._prefill = prefill
+        return self._prefill
 
     def _decode_fn(self):
         if self._decode is not None:
@@ -138,10 +157,12 @@ class ContinuousBatchingEngine:
         @jax.jit
         def decode(variables, cache, tokens, main_len, res_len):
             positions = (main_len + res_len)[:, None]
-            mask = per_slot_mask(kcfg, main_len, res_len)
+            # No explicit mask: the attention layer derives per-slot
+            # visibility from the cache lengths (and can use the fused
+            # dequant-attention kernel when eligible).
             logits, upd = model.apply(
                 {**variables, "cache": cache}, tokens,
-                attention_mask=mask, positions=positions,
+                positions=positions,
                 use_cache=True, mutable=["cache"])
             nxt = fast_argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return upd["cache"], nxt
@@ -152,9 +173,6 @@ class ContinuousBatchingEngine:
     def step(self):
         if self.cache is None:
             return
-        # lengths live in every layer's cache entry; read one of them
-        leaves = [v for v in jax.tree_util.tree_leaves(self.cache)]
-        # find main_len/res_len by walking the dict structure instead:
         main_len, res_len = self._lengths()
         decode = self._decode_fn()
         self.cache, nxt = decode(

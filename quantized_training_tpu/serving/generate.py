@@ -31,7 +31,10 @@ def fast_argmax(logits: jax.Array, axis: int = -1) -> jax.Array:
     idx = jax.lax.broadcasted_iota(
         jnp.int32, logits.shape, axis if axis >= 0 else logits.ndim + axis)
     big = jnp.iinfo(jnp.int32).max
-    return jnp.min(jnp.where(logits == m, idx, big), axis=axis)
+    # NaN rows: max is NaN so ``logits == m`` is all-false; match jnp.argmax
+    # (first-NaN index) instead of silently returning INT32_MAX.
+    hit = jnp.logical_or(logits == m, jnp.isnan(logits))
+    return jnp.min(jnp.where(hit, idx, big), axis=axis)
 
 
 def _sample(logits, rng, temperature: float, top_k: Optional[int]):
@@ -55,12 +58,20 @@ def generate(
     top_k: Optional[int] = None,
     rng: Optional[jax.Array] = None,
     eos_token_id: Optional[int] = None,
+    host_loop: bool = False,
 ) -> jax.Array:
     """Generate ``max_new_tokens`` continuations for ``input_ids`` (B, S).
 
     Works with both cache modes: full-precision (cfg.kv_cache is None) and
     KIVI quantized (prefill is quantized into the main cache, new tokens go
-    to the fp residual).  Returns (B, S + max_new_tokens).
+    to the fp residual; the true prompt length S is threaded through so the
+    decode mask is exact for prompts shorter than max_prefill).
+    Returns (B, S + max_new_tokens).
+
+    The decode loop runs on-device in one jitted ``lax.scan`` (a single host
+    dispatch for the whole generation — remote backends pay ~30ms per
+    dispatch otherwise).  ``host_loop=True`` falls back to one dispatch per
+    token (debugging; also allows early stopping work to be skipped).
     """
     B, S = input_ids.shape
     if rng is None:
@@ -74,37 +85,55 @@ def generate(
     # Prefill: fills the cache, returns logits for the last prompt token.
     logits, upd = model.apply(
         variables, input_ids, use_cache=True, cache_index=0,
-        mutable=["cache"],
+        prompt_len=S if kivi else None, mutable=["cache"],
     )
     cache = upd["cache"]
     rng, step_rng = jax.random.split(rng)
     next_tok = _sample(logits[:, -1], step_rng, temperature, top_k)
 
-    @jax.jit
-    def decode_step(variables, cache, tok, pos, rng):
+    def step(variables, cache, tok, pos, rng):
         # variables passed as an argument: closing over them would bake the
         # full parameter tree into the program as constants (gigabytes) and
         # blow up compile time on some backends.
         logits, upd = model.apply(
             {**variables, "cache": cache},
             tok[:, None], use_cache=True, cache_index=pos,
-            mutable=["cache"],
+            prompt_len=S if kivi else None, mutable=["cache"],
         )
         rng, step_rng = jax.random.split(rng)
         nxt = _sample(logits[:, -1], step_rng, temperature, top_k)
         return upd["cache"], nxt, rng
 
     var_args = {k: v for k, v in variables.items() if k != "cache"}
-    tokens = [next_tok]
-    pos = S
-    for _ in range(max_new_tokens - 1):
-        cache, next_tok, rng = decode_step(
-            var_args, cache, tokens[-1], jnp.asarray(pos, jnp.int32), rng
-        )
-        tokens.append(next_tok)
-        pos += 1
+    n_steps = max_new_tokens - 1
 
-    out = jnp.stack(tokens, axis=1)
+    if host_loop:
+        decode_step = jax.jit(step)
+        tokens = [next_tok]
+        pos = S
+        for _ in range(n_steps):
+            cache, next_tok, rng = decode_step(
+                var_args, cache, tokens[-1], jnp.asarray(pos, jnp.int32), rng
+            )
+            tokens.append(next_tok)
+            pos += 1
+        out = jnp.stack(tokens, axis=1)
+    else:
+        @jax.jit
+        def decode_all(variables, cache, tok0, rng):
+            def body(carry, _):
+                cache, tok, pos, rng = carry
+                cache, nxt, rng = step(variables, cache, tok, pos, rng)
+                return (cache, nxt, pos + 1, rng), nxt
+
+            carry0 = (cache, tok0, jnp.asarray(S, jnp.int32), rng)
+            _, toks = jax.lax.scan(body, carry0, None, length=n_steps)
+            return toks  # (n_steps, B)
+
+        toks = decode_all(var_args, cache, next_tok, rng)
+        out = jnp.concatenate(
+            [next_tok[:, None], jnp.moveaxis(toks, 0, 1)], axis=1
+        ) if n_steps else next_tok[:, None]
     full = jnp.concatenate([input_ids, out], axis=1)
     if eos_token_id is not None:
         # Mask everything after the first EOS per row.

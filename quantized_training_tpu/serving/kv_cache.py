@@ -8,10 +8,13 @@ feature axis (ax=-1) — while newly generated tokens go to a small
 full-precision residual cache; attention runs over the concatenation.
 
 TPU-native design: the cache is an explicit pytree of static-shape arrays
-(codes stored as int8 + per-group scale/zero-point in bf16), so the decode
-step jits once and the whole pytree shards over the mesh (heads on the model
-axis — see parallel/sharding.py).  Sub-byte packing (4x uint2 per byte) is a
-storage-layer concern handled by ``pack_codes``/``unpack_codes``.
+(codes + per-group scale/zero-point in bf16), so the decode step jits once
+and the whole pytree shards over the mesh (heads on the model axis — see
+parallel/sharding.py).  With ``KVCacheConfig(pack=True)`` sub-byte codes are
+stored bit-packed in the token-planar layout (``pack_tokens_planar``) — 4x
+fewer HBM bytes for uint2 — and the fused decode kernel
+(ops/pallas/kivi_attention.py) unpacks planes in VMEM.  The generic
+``pack_codes``/``unpack_codes`` remain as the export-format packing.
 """
 
 from typing import NamedTuple, Optional, Tuple
@@ -25,7 +28,8 @@ from ..quantize.ops import expand_scale
 from ..numerics.bitutils import clamp_keep_zero_sign
 
 __all__ = ["KVCacheConfig", "QuantizedKVCache", "init_cache", "prefill_cache",
-           "append_to_cache", "cache_kv", "pack_codes", "unpack_codes"]
+           "append_to_cache", "cache_kv", "pack_codes", "unpack_codes",
+           "pack_tokens_planar", "unpack_tokens_planar"]
 
 
 class KVCacheConfig(NamedTuple):
@@ -34,22 +38,41 @@ class KVCacheConfig(NamedTuple):
     k_spec / v_spec default to the KIVI setting used by the reference tests
     (test_codegen.py:536-586): uint2 group_wise_affine, K grouped along
     tokens (ax=-2), V along features (ax=-1), block 32.
+
+    ``pack=True`` stores sub-byte codes bit-packed (8//bits codes per byte)
+    in the token-planar layout (see :func:`pack_tokens_planar`), realizing
+    the 2-4x HBM capacity/bandwidth saving that is the point of a uint2/4
+    cache; the fused decode-attention kernel unpacks planes in VMEM.
     """
 
     max_prefill: int
     max_decode: int
     k_spec: Optional[QuantizationSpec] = None
     v_spec: Optional[QuantizationSpec] = None
+    pack: bool = False
 
     @staticmethod
     def kivi(max_prefill: int, max_decode: int,
              k_spec: str = "uint2,qs=group_wise_affine,bs=32,ax=-2",
-             v_spec: str = "uint2,qs=group_wise_affine,bs=32,ax=-1"):
+             v_spec: str = "uint2,qs=group_wise_affine,bs=32,ax=-1",
+             pack: bool = False):
         return KVCacheConfig(
             max_prefill, max_decode,
             _translate_spec_axes(QuantizationSpec.from_str(k_spec)),
             _translate_spec_axes(QuantizationSpec.from_str(v_spec)),
+            pack=pack,
         )
+
+    def _pack_bits(self, spec: Optional[QuantizationSpec]) -> Optional[int]:
+        """Bits per code when this spec's codes are stored packed, else None.
+
+        Packing applies to unsigned 1/2/4-bit codes only (uint2 KIVI being
+        the headline case); signed or wider codes stay one byte per code.
+        """
+        if not self.pack or spec is None or spec.quant_min < 0:
+            return None
+        b = int(spec.quant_max).bit_length()  # uint2: quant_max 3 -> 2 bits
+        return b if b in (1, 2, 4) else None
 
 
 class QuantizedKVCache(NamedTuple):
@@ -119,8 +142,16 @@ def init_cache(
 ) -> QuantizedKVCache:
     P, R = cfg.max_prefill, cfg.max_decode
     shape = (batch, P, kv_heads, head_dim)
+
+    def _codes_shape(spec):
+        bits = cfg._pack_bits(spec)
+        if bits is None:
+            return shape, _code_dtype(spec)
+        return (batch, P * bits // 8, kv_heads, head_dim), jnp.uint8
+
     if cfg.k_spec is not None:
-        k_codes = jnp.zeros(shape, _code_dtype(cfg.k_spec))
+        k_shape, k_dt = _codes_shape(cfg.k_spec)
+        k_codes = jnp.zeros(k_shape, k_dt)
         k_scale = jnp.ones(_qparam_shape(shape, cfg.k_spec), jnp.bfloat16)
         k_zp = jnp.zeros_like(k_scale)
     else:
@@ -128,7 +159,8 @@ def init_cache(
         k_scale = jnp.ones((1,), jnp.bfloat16)
         k_zp = jnp.zeros((1,), jnp.bfloat16)
     if cfg.v_spec is not None:
-        v_codes = jnp.zeros(shape, _code_dtype(cfg.v_spec))
+        v_shape, v_dt = _codes_shape(cfg.v_spec)
+        v_codes = jnp.zeros(v_shape, v_dt)
         v_scale = jnp.ones(_qparam_shape(shape, cfg.v_spec), jnp.bfloat16)
         v_zp = jnp.zeros_like(v_scale)
     else:
@@ -147,13 +179,17 @@ def init_cache(
 def prefill_cache(
     cache: QuantizedKVCache, cfg: KVCacheConfig,
     k: jax.Array, v: jax.Array,
+    length=None,
 ) -> QuantizedKVCache:
     """Quantize the prefill K/V (B, S, KV, D) into the main cache.
 
-    S must equal cfg.max_prefill for exact reference parity of the group
-    boundaries (the reference exports the graph at a fixed prefill length);
-    shorter prefills pad with zeros — harmless because attention masks the
-    empty slots.
+    S == cfg.max_prefill gives exact reference parity of the group boundaries
+    (the reference exports the graph at a fixed prefill length).  Shorter
+    prefills pad with zeros; ``length`` (int or traced scalar, defaults to S)
+    additionally zeroes K/V at positions >= length — so a fixed-shape padded
+    prefill (serving engine) stores bit-identical cache content to a
+    true-length prefill.  Decoders must still mask slots >= main_len
+    (residual_causal_mask / per_slot_mask do).
     """
     B, S, KV, D = k.shape
     P = cfg.max_prefill
@@ -162,20 +198,34 @@ def prefill_cache(
         pad = [(0, 0), (0, P - S), (0, 0), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+    if length is None:
+        main_len = jnp.asarray(S, jnp.int32)
+    else:
+        main_len = jnp.asarray(length, jnp.int32)
+        pos = jnp.arange(P)[None, :, None, None]
+        keep = pos < main_len
+        k = jnp.where(keep, k, jnp.zeros((), k.dtype))
+        v = jnp.where(keep, v, jnp.zeros((), v.dtype))
 
     if cfg.k_spec is not None:
         k_codes, k_scale, k_zp = _quantize_groupwise(k, cfg.k_spec)
+        bits = cfg._pack_bits(cfg.k_spec)
+        if bits is not None:
+            k_codes = pack_tokens_planar(k_codes, bits)
     else:
         k_codes, k_scale, k_zp = k, cache.k_scale, cache.k_zp
     if cfg.v_spec is not None:
         v_codes, v_scale, v_zp = _quantize_groupwise(v, cfg.v_spec)
+        bits = cfg._pack_bits(cfg.v_spec)
+        if bits is not None:
+            v_codes = pack_tokens_planar(v_codes, bits)
     else:
         v_codes, v_scale, v_zp = v, cache.v_scale, cache.v_zp
 
     return cache._replace(
         k_codes=k_codes, k_scale=k_scale, k_zp=k_zp,
         v_codes=v_codes, v_scale=v_scale, v_zp=v_zp,
-        main_len=jnp.asarray(S, jnp.int32),
+        main_len=main_len,
         res_len=jnp.zeros((), jnp.int32),
     )
 
@@ -203,13 +253,21 @@ def cache_kv(
     must be masked by the caller (see residual_causal_mask).
     """
     if cfg.k_spec is not None:
+        k_codes = cache.k_codes
+        bits = cfg._pack_bits(cfg.k_spec)
+        if bits is not None:
+            k_codes = unpack_tokens_planar(k_codes, bits)
         k_main = _dequantize_groupwise(
-            cache.k_codes, cache.k_scale, cache.k_zp, cfg.k_spec, dtype)
+            k_codes, cache.k_scale, cache.k_zp, cfg.k_spec, dtype)
     else:
         k_main = cache.k_codes.astype(dtype)
     if cfg.v_spec is not None:
+        v_codes = cache.v_codes
+        bits = cfg._pack_bits(cfg.v_spec)
+        if bits is not None:
+            v_codes = unpack_tokens_planar(v_codes, bits)
         v_main = _dequantize_groupwise(
-            cache.v_codes, cache.v_scale, cache.v_zp, cfg.v_spec, dtype)
+            v_codes, cache.v_scale, cache.v_zp, cfg.v_spec, dtype)
     else:
         v_main = cache.v_codes.astype(dtype)
     k = jnp.concatenate([k_main, cache.k_res.astype(dtype)], axis=1)
@@ -239,6 +297,44 @@ def residual_causal_mask(
 
 
 # ---------------------------------------------------------------------------
+# Token-planar packing: the serving cache layout
+# ---------------------------------------------------------------------------
+#
+# Codes (B, P, KV, D) pack along the *token* axis into (B, P//per, KV, D)
+# uint8 with per = 8//bits: byte[b, t', kv, d] holds the codes of tokens
+# t = s * (P//per) + t' in bit-field s (s = 0..per-1).  This "planar" order
+# keeps the last (lane) dimension at D=128 — full-width DMAs — and unpacking
+# plane s yields the contiguous token block [s*P//per, (s+1)*P//per) so a
+# VMEM unpack is per constant shifts + one sublane concat, no shuffles.
+# (K's 32-token scale groups stay intact because P//per is a multiple of 32
+# for any realistic P.)
+
+
+def pack_tokens_planar(codes: jax.Array, bits: int) -> jax.Array:
+    """(…, P, KV, D) int codes -> (…, P//per, KV, D) uint8, token-planar."""
+    assert bits in (1, 2, 4)
+    per = 8 // bits
+    *lead, P, KV, D = codes.shape
+    assert P % per == 0, (P, per)
+    planes = codes.astype(jnp.uint8).reshape(*lead, per, P // per, KV, D)
+    shifts = (jnp.arange(per, dtype=jnp.uint8) * bits).reshape(
+        (1,) * len(lead) + (per, 1, 1, 1))
+    mask = jnp.uint8((1 << bits) - 1)
+    return jnp.sum((planes & mask) << shifts, axis=-4).astype(jnp.uint8)
+
+
+def unpack_tokens_planar(packed: jax.Array, bits: int) -> jax.Array:
+    """Inverse of pack_tokens_planar; returns uint8 codes (…, P, KV, D)."""
+    per = 8 // bits
+    *lead, Pp, KV, D = packed.shape
+    shifts = (jnp.arange(per, dtype=jnp.uint8) * bits).reshape(
+        (1,) * len(lead) + (per, 1, 1, 1))
+    mask = jnp.uint8((1 << bits) - 1)
+    planes = (packed[..., None, :, :, :] >> shifts) & mask
+    return planes.reshape(*lead, per * Pp, KV, D)
+
+
+# ---------------------------------------------------------------------------
 # Sub-byte storage packing (uint2/uint4 codes -> bytes) for HBM footprint
 # ---------------------------------------------------------------------------
 
@@ -255,13 +351,22 @@ def pack_codes(codes: jax.Array, bits: int) -> jax.Array:
     ).astype(jnp.uint8)
 
 
-def unpack_codes(packed: jax.Array, bits: int) -> jax.Array:
-    """Inverse of pack_codes; returns int8 codes."""
+def unpack_codes(packed: jax.Array, bits: int, signed: bool = False) -> jax.Array:
+    """Inverse of pack_codes; returns int8 codes.
+
+    ``signed=True`` sign-extends the low ``bits`` bits (two's complement), so
+    intN codes round-trip: int4 -1 packs as 0b1111 and unpacks back to -1.
+    Without it only unsigned codes survive the round trip.
+    """
     per = 8 // bits
     shifts = jnp.arange(per, dtype=jnp.uint8) * bits
     u = (packed[..., None] >> shifts) & ((1 << bits) - 1)
     *lead, last, _ = u.shape
-    return u.reshape(*lead, last * per).astype(jnp.int8)
+    u = u.reshape(*lead, last * per).astype(jnp.int32)
+    if signed:
+        sign_bit = 1 << (bits - 1)
+        u = (u ^ sign_bit) - sign_bit
+    return u.astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------
@@ -275,12 +380,22 @@ def prefill_slot(
     """Quantize one request's prefill K/V (1, P, KV, D) into batch slot
     ``slot`` and reset that slot's residual.  Lengths must be (B,) arrays
     (continuous-batching mode)."""
+    if cfg.pack:
+        # token-planar packing spans the full prefill extent; a partial
+        # prefill would interleave planes wrongly.
+        assert k.shape[1] == cfg.max_prefill, (k.shape, cfg.max_prefill)
     if cfg.k_spec is not None:
         k_codes, k_scale, k_zp = _quantize_groupwise(k, cfg.k_spec)
+        bits = cfg._pack_bits(cfg.k_spec)
+        if bits is not None:
+            k_codes = pack_tokens_planar(k_codes, bits)
     else:
         k_codes, k_scale, k_zp = k, None, None
     if cfg.v_spec is not None:
         v_codes, v_scale, v_zp = _quantize_groupwise(v, cfg.v_spec)
+        bits = cfg._pack_bits(cfg.v_spec)
+        if bits is not None:
+            v_codes = pack_tokens_planar(v_codes, bits)
     else:
         v_codes, v_scale, v_zp = v, None, None
 

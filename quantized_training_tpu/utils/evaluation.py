@@ -33,46 +33,47 @@ def sliding_window_perplexity(
 ) -> float:
     """Perplexity over one long token stream with overlapping windows.
 
-    ``forward(ids)`` returns logits (1, S, V).  For each window only the
-    tokens past the overlap contribute (targets before ``trg_len`` are
-    masked), exactly like the reference's -100 masking.
+    Reference-exact protocol (examples/language_modeling/wikitext.py:146-166):
+    window starts iterate ``range(0, seq_len - max_length, stride)`` so every
+    window is a full ``max_length`` tokens; per window, only the last
+    ``trg_len = end - prev_end`` targets contribute (the -100 masking), each
+    window's *mean* NLL is collected, and ppl = exp(mean of window means).
+    Tokens after the last full window are never evaluated — the reference
+    drops them too.
+
+    Extension for short fixtures: a stream with ``seq_len <= max_length``
+    (where the reference loop would run zero windows) is evaluated as one
+    truncated window.  ``pad_token_id`` is unused (kept for API
+    compatibility) — windows are always taken from real tokens, no padding.
     """
+    del pad_token_id
     token_ids = np.asarray(token_ids).reshape(-1)
     seq_len = token_ids.shape[0]
 
-    nll_sum = 0.0
-    n_tokens = 0
+    begins = list(range(0, seq_len - max_length, stride)) or [0]
+    window_nlls = []
     prev_end = 0
-    for begin in range(0, seq_len, stride):
+    for begin in begins:
         end = min(begin + max_length, seq_len)
         trg_len = end - prev_end
         window = token_ids[begin:end]
-        pad = max_length - window.shape[0]
-        if pad > 0:
-            window = np.concatenate(
-                [window, np.full(pad, pad_token_id, window.dtype)])
-        ids = jnp.asarray(window[None, :])
-        logits = np.asarray(forward(ids), dtype=np.float32)[0]
+        logits = np.asarray(forward(jnp.asarray(window[None, :])),
+                            dtype=np.float32)[0]
 
-        # next-token NLL on the last trg_len real targets of the window
-        valid = window.shape[0] - pad
-        logp = jax.nn.log_softmax(jnp.asarray(logits[: valid - 1]), axis=-1)
-        targets = window[1:valid]
+        # next-token NLL; the model "shifts labels left", so a window with
+        # trg_len == window length still only yields len-1 loss terms.
+        logp = jax.nn.log_softmax(jnp.asarray(logits[:-1]), axis=-1)
+        targets = window[1:]
         token_nll = -np.asarray(
             jnp.take_along_axis(
                 logp, jnp.asarray(targets[:, None]), axis=-1
             )
         ).squeeze(-1)
-        start_t = (valid - 1) - (trg_len - (1 if end == seq_len else 0))
-        start_t = max(start_t, 0)
-        nll_sum += token_nll[start_t:].sum()
-        n_tokens += token_nll[start_t:].shape[0]
-
+        n_valid = min(trg_len, window.shape[0] - 1)
+        window_nlls.append(token_nll[-n_valid:].mean())
         prev_end = end
-        if end == seq_len:
-            break
 
-    return float(np.exp(nll_sum / max(n_tokens, 1)))
+    return float(np.exp(np.mean(window_nlls)))
 
 
 # ---------------------------------------------------------------------------

@@ -217,6 +217,43 @@ class TestOutlier:
         np.testing.assert_array_equal(idx[:3], [1, 0, 2])
         np.testing.assert_array_equal(indptr, [0, 1, 3])
 
+    def test_to_csr_truncation_consistent(self):
+        """When nnz > max_nnz, indptr must be clamped so consumers iterating
+        rows never read past the padded data/indices arrays."""
+        x = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], np.float32)
+        data, idx, indptr = to_csr(x, max_nnz=3)
+        assert indptr[-1] == 3  # not 6
+        assert np.all(np.diff(indptr) >= 0)
+        assert indptr.max() <= data.shape[0]
+        np.testing.assert_array_equal(data, [1.0, 2.0, 3.0])
+
+
+class TestPallasQuantizeElemwise:
+    @pytest.mark.parametrize("dtype", ["posit8_1", "e4m3", "fp4_e2m1", "int8"])
+    def test_matches_xla_kernel(self, dtype):
+        from quantized_training_tpu.numerics import quantize_fn
+        from quantized_training_tpu.ops.pallas.quantize_elemwise import (
+            pallas_quantize,
+        )
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((64, 256)) * 3, jnp.bfloat16)
+        qfn = quantize_fn(dtype)
+        np.testing.assert_array_equal(
+            np.asarray(qfn(x), np.float32),
+            np.asarray(pallas_quantize(x, qfn), np.float32))
+
+    def test_fallback_on_odd_shapes(self):
+        from quantized_training_tpu.numerics import quantize_fn
+        from quantized_training_tpu.ops.pallas.quantize_elemwise import (
+            pallas_quantize,
+        )
+        qfn = quantize_fn("posit8_1")
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((3, 5, 7)),
+                        jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(qfn(x), np.float32),
+            np.asarray(pallas_quantize(x, qfn), np.float32))
+
 
 class TestStraightThrough:
     def test_identity_gradient(self):

@@ -72,6 +72,144 @@ class TestPacking:
         out = unpack_codes(packed, bits)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
 
+    @pytest.mark.parametrize("bits", [2, 4])
+    def test_pack_roundtrip_signed(self, bits):
+        """Signed intN codes need sign extension on unpack: int4 -1 packs as
+        0b1111 and must come back as -1, not 15."""
+        rng = np.random.default_rng(3)
+        lo, hi = -(2 ** (bits - 1)), 2 ** (bits - 1)
+        codes = jnp.asarray(rng.integers(lo, hi, (2, 16)), jnp.int8)
+        packed = pack_codes(codes, bits)
+        out = unpack_codes(packed, bits, signed=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+
+class TestPlanarPacking:
+    @pytest.mark.parametrize("bits", [1, 2, 4])
+    def test_tokens_planar_roundtrip(self, bits):
+        from quantized_training_tpu.serving.kv_cache import (
+            pack_tokens_planar, unpack_tokens_planar,
+        )
+        rng = np.random.default_rng(5)
+        codes = jnp.asarray(
+            rng.integers(0, 2 ** bits, (2, 16, 3, 8)), jnp.uint8)
+        packed = pack_tokens_planar(codes, bits)
+        assert packed.shape == (2, 16 * bits // 8, 3, 8)
+        out = unpack_tokens_planar(packed, bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+    def test_packed_cache_matches_unpacked(self):
+        """cache_kv over a packed cache == over the unpacked cache."""
+        B, S, KV, D = 2, 32, 2, 64
+        rng = np.random.default_rng(6)
+        k = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        cfg_u = KVCacheConfig.kivi(max_prefill=32, max_decode=8)
+        cfg_p = KVCacheConfig.kivi(max_prefill=32, max_decode=8, pack=True)
+        cu = prefill_cache(init_cache(cfg_u, B, KV, D), cfg_u, k, v)
+        cp = prefill_cache(init_cache(cfg_p, B, KV, D), cfg_p, k, v)
+        assert cp.k_codes.shape[1] == 32 // 4  # uint2: 4 codes/byte
+        ku, vu = cache_kv(cu, cfg_u)
+        kp, vp = cache_kv(cp, cfg_p)
+        np.testing.assert_array_equal(np.asarray(ku.astype(jnp.float32)),
+                                      np.asarray(kp.astype(jnp.float32)))
+        np.testing.assert_array_equal(np.asarray(vu.astype(jnp.float32)),
+                                      np.asarray(vp.astype(jnp.float32)))
+
+
+class TestFusedKiviAttention:
+    """The fused dequant-attention kernel vs the cache_kv + jnp reference."""
+
+    def _naive(self, q, cache, cfg, ml, rl):
+        kcfg = cfg
+        k, v = cache_kv(cache, kcfg, jnp.float32)
+        B, T, KV, D = k.shape
+        H = q.shape[1]
+        if KV != H:
+            k = jnp.repeat(k, H // KV, axis=2)
+            v = jnp.repeat(v, H // KV, axis=2)
+        s = jnp.einsum("bhd,bthd->bht", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) / np.sqrt(D)
+        P = kcfg.max_prefill
+        t = jnp.arange(T)[None, None, :]
+        vis = jnp.where(t < P, t < ml[:, None, None],
+                        (t - P) < rl[:, None, None])
+        s = jnp.where(vis, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bht,bthd->bhd", p, v.astype(jnp.float32))
+
+    @pytest.mark.parametrize("pack", [False, True])
+    def test_matches_naive(self, pack):
+        from quantized_training_tpu.ops.pallas.kivi_attention import (
+            kivi_decode_attention,
+        )
+        from quantized_training_tpu.serving.kv_cache import append_to_cache
+        B, P, R, KV, H, D = 2, 32, 8, 2, 4, 64
+        kcfg = KVCacheConfig.kivi(max_prefill=P, max_decode=R, pack=pack)
+        rng = np.random.default_rng(7)
+        k = jnp.asarray(rng.standard_normal((B, P, KV, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, P, KV, D)), jnp.bfloat16)
+        cache = prefill_cache(init_cache(kcfg, B, KV, D), kcfg, k, v,
+                              length=20)  # short prompt: 20 < P
+        for _ in range(3):
+            kn = jnp.asarray(rng.standard_normal((B, 1, KV, D)), jnp.bfloat16)
+            vn = jnp.asarray(rng.standard_normal((B, 1, KV, D)), jnp.bfloat16)
+            cache = append_to_cache(cache, kn, vn)
+
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.bfloat16)
+        ml = jnp.full((B,), 20, jnp.int32)
+        rl = jnp.full((B,), 3, jnp.int32)
+        out = kivi_decode_attention(
+            q, cache.k_codes, cache.k_scale, cache.k_zp,
+            cache.v_codes, cache.v_scale, cache.v_zp,
+            cache.k_res, cache.v_res, ml, rl,
+            bits_k=kcfg._pack_bits(kcfg.k_spec),
+            bits_v=kcfg._pack_bits(kcfg.v_spec),
+        )
+        ref = self._naive(q, cache, kcfg, ml, rl)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+    def test_model_fused_decode_logits_match_naive_path(self):
+        """End-to-end through the model: a decode step with the fused kernel
+        produces the same logits as use_fused_kivi=False (same quantized
+        cache).  Tolerance covers the naive path's bf16 softmax vs the
+        kernel's f32 softmax."""
+        kcfg = KVCacheConfig.kivi(
+            max_prefill=16, max_decode=8,
+            k_spec="uint4,qs=group_wise_affine,bs=16,ax=-2",
+            v_spec="uint4,qs=group_wise_affine,bs=16,ax=-1", pack=True)
+        ids = jnp.asarray(np.random.default_rng(8).integers(0, 256, (2, 10)))
+        cfg_f = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg,
+                                 use_fused_kivi=True)
+        cfg_n = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg,
+                                 use_fused_kivi=False)
+        m_f = LlamaForCausalLM(cfg_f, None)
+        vars_ = m_f.init(jax.random.PRNGKey(0), ids)
+        m_n = LlamaForCausalLM(cfg_n, None)
+        tok = ids[:, :1] * 0 + 7
+
+        _, upd = m_f.apply(vars_, ids, use_cache=True, cache_index=0,
+                           prompt_len=10, mutable=["cache"])
+        lg_f, _ = m_f.apply({**vars_, "cache": upd["cache"]}, tok,
+                            use_cache=True, cache_index=10,
+                            mutable=["cache"])
+        lg_n, _ = m_n.apply({**vars_, "cache": upd["cache"]}, tok,
+                            use_cache=True, cache_index=10,
+                            mutable=["cache"])
+        np.testing.assert_allclose(np.asarray(lg_f), np.asarray(lg_n),
+                                   atol=0.15, rtol=0.05)
+
+    def test_generate_fused_runs_finite(self):
+        kcfg = KVCacheConfig.kivi(max_prefill=16, max_decode=8, pack=True)
+        ids = jnp.asarray(np.random.default_rng(9).integers(0, 256, (2, 10)))
+        cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        m = LlamaForCausalLM(cfg, None)
+        vars_ = m.init(jax.random.PRNGKey(0), ids)
+        out = generate(m, vars_, ids, max_new_tokens=6)
+        assert out.shape == (2, 16)
+        assert np.asarray(out).min() >= 0
+
 
 class TestGenerate:
     def setup_method(self, _):
@@ -150,6 +288,72 @@ class TestGenerate:
         vars_ = model.init(jax.random.PRNGKey(0), self.ids)
         out = generate(model, vars_, self.ids, max_new_tokens=4)
         assert out.shape == (2, 12)
+
+    def test_two_tier_short_prompt_exact(self):
+        """Regression: prompts shorter than max_prefill must decode exactly.
+
+        Previously the decode mask assumed main_len == max_prefill, so a
+        short prompt attended zero-padded main-cache slots and masked the
+        fresh residual token.  Unquantized two-tier vs fp-cache isolates the
+        mask/plumbing from quantization error."""
+        kcfg = KVCacheConfig(max_prefill=16, max_decode=8)  # S=8 < P=16
+        cfg_kivi = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model_fp = LlamaForCausalLM(self.cfg_fp, None)
+        vars_ = model_fp.init(jax.random.PRNGKey(0), self.ids)
+        out_fp = generate(model_fp, vars_, self.ids, max_new_tokens=5)
+
+        model_kivi = LlamaForCausalLM(cfg_kivi, None)
+        out_kivi = generate(model_kivi, vars_, self.ids, max_new_tokens=5)
+        np.testing.assert_array_equal(np.asarray(out_kivi), np.asarray(out_fp))
+
+    def test_kivi_uint8_short_prompt_finite_and_tracks_fp(self):
+        kcfg = KVCacheConfig.kivi(
+            max_prefill=16, max_decode=8,
+            k_spec="uint8,qs=group_wise_affine,bs=16,ax=-2",
+            v_spec="uint8,qs=group_wise_affine,bs=16,ax=-1",
+        )
+        cfg_kivi = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model_fp = LlamaForCausalLM(self.cfg_fp, None)
+        vars_ = model_fp.init(jax.random.PRNGKey(0), self.ids)
+        model_kivi = LlamaForCausalLM(cfg_kivi, None)
+
+        tok = self.ids[:, :1] * 0 + 5
+        _, upd_fp = model_fp.apply(vars_, self.ids, use_cache=True,
+                                   cache_index=0, mutable=["cache"])
+        lg_fp, _ = model_fp.apply(
+            {**vars_, "cache": upd_fp["cache"]}, tok, use_cache=True,
+            cache_index=8, mutable=["cache"])
+        # short prompt (8 < max_prefill 16) with true length threaded
+        _, upd_k = model_kivi.apply(vars_, self.ids, use_cache=True,
+                                    cache_index=0, prompt_len=8,
+                                    mutable=["cache"])
+        lg_k, _ = model_kivi.apply(
+            {**vars_, "cache": upd_k["cache"]}, tok, use_cache=True,
+            cache_index=8, prompt_len=8, mutable=["cache"])
+        a, b = np.asarray(lg_fp).ravel(), np.asarray(lg_k).ravel()
+        assert np.all(np.isfinite(b))
+        assert np.corrcoef(a, b)[0, 1] > 0.99
+
+    def test_host_loop_matches_scan(self):
+        """The on-device lax.scan decode loop produces the same tokens as
+        the per-token host loop."""
+        kcfg = KVCacheConfig(max_prefill=8, max_decode=8)
+        cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model = LlamaForCausalLM(cfg, None)
+        vars_ = model.init(jax.random.PRNGKey(0), self.ids)
+        out_scan = generate(model, vars_, self.ids, max_new_tokens=6)
+        out_host = generate(model, vars_, self.ids, max_new_tokens=6,
+                            host_loop=True)
+        np.testing.assert_array_equal(
+            np.asarray(out_scan), np.asarray(out_host))
+
+    def test_fast_argmax_nan_matches_argmax(self):
+        from quantized_training_tpu.serving.generate import fast_argmax
+        x = jnp.asarray([[1.0, float("nan"), 2.0],
+                         [3.0, 1.0, 3.0],
+                         [float("nan"), 0.0, 1.0]])
+        np.testing.assert_array_equal(
+            np.asarray(fast_argmax(x)), np.asarray(jnp.argmax(x, axis=-1)))
 
     def test_sampling_temperature(self):
         model = LlamaForCausalLM(self.cfg_fp, None)
@@ -232,6 +436,30 @@ class TestContinuousBatching:
         ref = generate(model, {"params": vars_["params"]},
                        jnp.asarray(prompt[None]), max_new_tokens=4)
         expected = np.asarray(ref[0, 8:]).tolist()
+
+        engine = ContinuousBatchingEngine(
+            model, {"params": vars_["params"]}, batch_slots=2)
+        rid = engine.submit(prompt, max_new_tokens=4)
+        results = engine.run()
+        assert results[rid] == expected
+
+    def test_engine_matches_generate_short_prompt(self):
+        """A prompt shorter than max_prefill through the engine's
+        fixed-shape padded prefill == generate() with the true-length
+        prefill (unquantized cache => decode math identical)."""
+        from quantized_training_tpu.serving.engine import (
+            ContinuousBatchingEngine,
+        )
+        kcfg = KVCacheConfig(max_prefill=16, max_decode=8)
+        cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model = LlamaForCausalLM(cfg, None)
+        rng = np.random.default_rng(11)
+        prompt = rng.integers(0, 256, 6)  # 6 < max_prefill 16
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(prompt[None]))
+
+        ref = generate(model, {"params": vars_["params"]},
+                       jnp.asarray(prompt[None]), max_new_tokens=4)
+        expected = np.asarray(ref[0, 6:]).tolist()
 
         engine = ContinuousBatchingEngine(
             model, {"params": vars_["params"]}, batch_slots=2)
