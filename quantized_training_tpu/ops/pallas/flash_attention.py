@@ -42,8 +42,11 @@ __all__ = ["flash_attention"]
 NEG_INF = -2.0 ** 30  # large-but-safe additive mask (bf16/posit friendly)
 
 
+LANES = 128  # row-stat minor dim (lse/di stored replicated across lanes)
+
+
 def _attn_kernel(
-    q_ref, k_ref, v_ref, o_ref,
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
     *,
     scale: float,
@@ -119,6 +122,127 @@ def _attn_kernel(
         l = l_ref[:]
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        # logsumexp per row, replicated over the lane dim for the backward
+        # kernels (the in-VMEM layout row-stats want: (block_q, LANES))
+        lse = m_ref[:] + jnp.log(l)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, LANES))
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+    dq_acc,
+    *,
+    scale: float, causal: bool, q_offset: int,
+    block_q: int, block_k: int,
+):
+    """dq = sum_j [p * (dO V^T - di)] * scale @ K — one (b, h, i) row of q
+    blocks, sequential over j, score tiles recomputed in VMEM."""
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q_start = i * block_q + q_offset
+    k_start = j * block_k
+    needed = jnp.logical_or(
+        jnp.logical_not(causal), k_start <= q_start + block_q - 1
+    )
+
+    @pl.when(needed)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]                      # (block_q, 1)
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            q_pos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        p = jnp.exp(s - lse)
+
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bk)
+        ds = p * (dp - di) * scale
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *,
+    scale: float, causal: bool, q_offset: int,
+    block_q: int, block_k: int,
+):
+    """dk/dv for one (b, h, j) k block, sequential over q blocks i.
+    dv = p^T dO;  dk = [p * (dO V^T - di) * scale]^T Q."""
+    j = pl.program_id(2)
+    i = pl.program_id(3)
+    ni = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_start = i * block_q + q_offset
+    k_start = j * block_k
+    needed = jnp.logical_or(
+        jnp.logical_not(causal), k_start <= q_start + block_q - 1
+    )
+
+    @pl.when(needed)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            q_pos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        p = jnp.exp(s - lse)                             # (bq, bk)
+
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bk, D)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * scale                       # (bq, bk)
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bk, D)
+
+    @pl.when(i == ni - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _naive_attention(q, k, v, scale, causal, q_offset, q_qfn, k_qfn,
@@ -230,20 +354,25 @@ def flash_attention(
         q_qfn=q_qfn, k_qfn=k_qfn, p_qfn=p_qfn, v_qfn=v_qfn,
     )
 
+    q_map = lambda b, h, i, j: (b, h, i, 0)
+    kv_map = lambda b, h, i, j, group=group: (b, h // group, j, 0)
+
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D),
-                         lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, h, i, j, group=group: (b, h // group, j, 0)),
-            pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, h, i, j, group=group: (b, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_q, D), q_map),
+            pl.BlockSpec((1, 1, block_k, D), kv_map),
+            pl.BlockSpec((1, 1, block_k, D), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D),
-                               lambda b, h, i, j: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), q_map),
+            pl.BlockSpec((1, 1, block_q, LANES), q_map),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, S, LANES), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -256,15 +385,98 @@ def flash_attention(
         interpret=interpret,
     )
 
+    def _flash_bwd(qr, kr, vr, lse, o, g):
+        """Tile-recomputed flash backward: dq then dk/dv, no (S, T) tensor
+        in HBM.  di = rowsum(dO * O) (the softmax-backward inner product,
+        valid because o = p @ v with the same p being differentiated)."""
+        do = g.astype(jnp.float32)
+        di = jnp.sum(do * o.astype(jnp.float32), axis=-1)       # (B, H, S)
+        di = jnp.broadcast_to(di[..., None], (B, H, S, LANES))
+
+        common = dict(
+            scale=scale, causal=causal, q_offset=q_offset,
+            block_q=block_q, block_k=block_k,
+        )
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel, **common),
+            grid=(B, H, S // block_q, T // block_k),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), q_map),
+                pl.BlockSpec((1, 1, block_k, D), kv_map),
+                pl.BlockSpec((1, 1, block_k, D), kv_map),
+                pl.BlockSpec((1, 1, block_q, D), q_map),
+                pl.BlockSpec((1, 1, block_q, LANES), q_map),
+                pl.BlockSpec((1, 1, block_q, LANES), q_map),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, D), q_map),
+            out_shape=jax.ShapeDtypeStruct((B, H, S, D), qr.dtype),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qr, kr, vr, g, lse, di)
+
+        # dk/dv: grid walks (b, h, k-block) with q blocks innermost; per-head
+        # results are summed over the GQA group outside (linear-size tensors).
+        kv_j_map = lambda b, h, j, i, group=group: (b, h // group, j, 0)
+        q_i_map = lambda b, h, j, i: (b, h, i, 0)
+        dk_h, dv_h = pl.pallas_call(
+            functools.partial(_bwd_dkv_kernel, **common),
+            grid=(B, H, T // block_k, S // block_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), q_i_map),
+                pl.BlockSpec((1, 1, block_k, D), kv_j_map),
+                pl.BlockSpec((1, 1, block_k, D), kv_j_map),
+                pl.BlockSpec((1, 1, block_q, D), q_i_map),
+                pl.BlockSpec((1, 1, block_q, LANES), q_i_map),
+                pl.BlockSpec((1, 1, block_q, LANES), q_i_map),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, j, i: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, j, i: (b, h, j, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, T, D), kr.dtype),
+                jax.ShapeDtypeStruct((B, H, T, D), vr.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qr, kr, vr, g, lse, di)
+        if group > 1:
+            dk = dk_h.reshape(B, KV, group, T, D).sum(axis=2).astype(kr.dtype)
+            dv = dv_h.reshape(B, KV, group, T, D).sum(axis=2).astype(vr.dtype)
+        else:
+            dk, dv = dk_h, dv_h
+        return dq, dk, dv
+
     @jax.custom_vjp
     def _fa(q, k, v):
-        return call(q, k, v)
+        return call(q, k, v)[0]
 
     def _fa_fwd(q, k, v):
-        return call(q, k, v), (q, k, v)
+        o, lse = call(q, k, v)
+        return o, (q, k, v, lse, o)
 
     def _fa_bwd(res, g):
-        qr, kr, vr = res
+        qr, kr, vr, lse, o = res
+        if p_qfn is None:
+            # real flash backward: recompute per tile, nothing quadratic
+            # ever hits HBM (q/k/v quantizers were hoisted+STE'd outside)
+            return _flash_bwd(qr, kr, vr, lse, o, g)
+        # probability quantization couples the softmax backward to the
+        # quantized p in a way the di-trick doesn't capture; fall back to
+        # the jnp recompute path (accuracy-parity path uses it anyway).
         _, vjp = jax.vjp(
             lambda a, b, c: _naive_attention(
                 a, b, c, scale, causal, q_offset,
