@@ -31,6 +31,10 @@ from quantized_training_tpu.ops.pallas.quantized_matmul import (  # noqa: E402
 
 
 def main():
+    assert jax.default_backend() == "tpu", (
+        f"TPU init failed (backend={jax.default_backend()}); "
+        "is another process holding the chip?")
+    print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     M = 4096
     shapes = [(M, 2048, 2048), (M, 2048, 5504), (M, 5504, 2048)]

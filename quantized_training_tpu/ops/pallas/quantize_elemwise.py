@@ -29,13 +29,24 @@ def _kernel(x_ref, o_ref, *, qfn):
     o_ref[:] = qfn(x_ref[:]).astype(o_ref.dtype)
 
 
+def _flat_view(size: int):
+    """Pick a (rows, cols) factorization of ``size`` for an elementwise map.
+
+    Elementwise kernels are layout-free, so the logical shape is irrelevant —
+    what matters is a lane-aligned 2D view with wide blocks.  Prefer 1024
+    lanes (one VREG row of f32 is 8x128; 1024 keeps DMA transfers long)."""
+    for cols in (1024, 512, 256, 128):
+        if size % cols == 0:
+            return size // cols, cols
+    return None
+
+
 def pallas_quantize_eligible(x: jax.Array) -> bool:
-    """Cheap static check: 2D-viewable with TPU-friendly tiling."""
+    """Cheap static check: flattenable to a TPU-friendly 2D tiling."""
     if x.ndim == 0 or x.size == 0:
         return False
-    last = x.shape[-1]
-    lead = x.size // last
-    return last % 128 == 0 and lead >= 8
+    v = _flat_view(x.size)
+    return v is not None and v[0] >= 8
 
 
 def pallas_quantize(
@@ -60,23 +71,15 @@ def pallas_quantize(
     if not pallas_quantize_eligible(x):
         return qfn(x)
 
-    last = x.shape[-1]
-    lead = x.size // last
+    lead, last = _flat_view(x.size)
     x2 = x.reshape(lead, last)
 
+    bn = last  # full lane width (1024 when size allows)
     bm = min(block_rows, lead)
-    bn = min(block_cols, last)
-    if lead % bm or last % bn:
-        # shrink to the largest power-of-two-ish divisor; give up cleanly
+    if lead % bm:
         for cand in (512, 256, 128, 64, 32, 16, 8):
-            if lead % cand == 0 and cand <= lead:
+            if lead % cand == 0:
                 bm = cand
-                break
-        else:
-            return qfn(x)
-        for cand in (1024, 512, 256, 128):
-            if last % cand == 0:
-                bn = cand
                 break
         else:
             return qfn(x)

@@ -114,6 +114,35 @@ def straight_through(fn):
 # Scheme implementations (value paths; straight-through applied at the end)
 # --------------------------------------------------------------------------
 
+def _pallas_elemwise_enabled() -> bool:
+    """Route direct-rounding quantizers through the tiled Pallas kernel on
+    TPU (ops/pallas/quantize_elemwise.py).  Identical bit-exact numerics;
+    the kernel exists to run the rounding chain at HBM bandwidth.  Disable
+    with QT_PALLAS_ELEMWISE=0 (A/B benching)."""
+    import os
+
+    if os.environ.get("QT_PALLAS_ELEMWISE", "1") == "0":
+        return False
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return platform == "tpu"
+
+
+def _direct_round_fn(spec: QuantizationSpec):
+    qfn = quantize_fn(spec.dtype)
+
+    def value(t):
+        if _pallas_elemwise_enabled():
+            from ..ops.pallas.quantize_elemwise import (
+                pallas_quantize, pallas_quantize_eligible,
+            )
+
+            if pallas_quantize_eligible(t):
+                return pallas_quantize(t, qfn)
+        return qfn(materialize_rounding(t))
+
+    return value
+
 def _observe_amax(
     x: jax.Array, state: FakeQuantState, spec: QuantizationSpec
 ) -> FakeQuantState:
@@ -229,7 +258,7 @@ def fake_quantize(
         # "--activation posit8_1" with no qscheme).
         if not quantize:
             return x, state
-        y = straight_through(quantize_fn(spec.dtype))(materialize_rounding(x))
+        y = straight_through(_direct_round_fn(spec))(x)
         return y, state
 
     # Outlier masking: quantize only |x| < threshold, restore outliers after
