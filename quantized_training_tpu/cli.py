@@ -9,11 +9,25 @@ turns parsed args into the framework's QuantConfig.
 """
 
 import argparse
+import os
 from typing import Optional
 
 from .quantize.config import QConfig, QuantConfig
 
-__all__ = ["add_qspec_args", "quant_config_from_args"]
+__all__ = ["add_qspec_args", "quant_config_from_args",
+           "configure_backend_from_env"]
+
+
+def configure_backend_from_env():
+    """Honor ``QT_FORCE_CPU=1``: pin the default device to CPU.
+
+    Drivers call this so test harnesses / sweep launchers can force CPU
+    without each driver growing a flag (``JAX_PLATFORMS=cpu`` is unreliable
+    when an out-of-tree TPU plugin force-registers)."""
+    if os.environ.get("QT_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
 def add_qspec_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
@@ -70,6 +84,7 @@ def add_qspec_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
 def quant_config_from_args(args) -> Optional[QuantConfig]:
     """QuantConfig from parsed args; None when nothing is quantized."""
+    configure_backend_from_env()
     if not (args.activation or args.weight or args.error):
         return None
 

@@ -423,14 +423,17 @@ class QConv(nn.Module, QuantMixin):
         ).astype(self.dtype)
         x = self.quant_input(x, "conv2d", OpCategory.GEMM, 0)
         kernel = self.weight_fake_quant(kernel, op="conv2d")
+        # No preferred_element_type: the MXU accumulates in f32 regardless
+        # and rounds once to the output dtype — identical numerics to an f32
+        # result + astype, but with a transposable VJP (f32 cotangent vs
+        # bf16 operands crashes conv's transpose rule).
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel,
             window_strides=self.strides,
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,),
