@@ -28,6 +28,9 @@ from .mobilebert import (
 )
 from .gpt2 import GPT2Config, GPT2LMHeadModel
 from .mamba import MambaConfig, MambaForCausalLM
+from .yolov5_face import YoloFaceConfig, YoloV5Face, decode_detections
+from .mobilevit import MobileViTConfig, MobileViT
+from .segformer import SegFormerConfig, SegFormer
 from . import hf_loader
 
 __all__ = [
@@ -58,5 +61,12 @@ __all__ = [
     "GPT2LMHeadModel",
     "MambaConfig",
     "MambaForCausalLM",
+    "YoloFaceConfig",
+    "YoloV5Face",
+    "decode_detections",
+    "MobileViTConfig",
+    "MobileViT",
+    "SegFormerConfig",
+    "SegFormer",
     "hf_loader",
 ]
