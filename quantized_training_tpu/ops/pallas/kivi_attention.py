@@ -223,7 +223,7 @@ def kivi_decode_attention_sharded(
 
     Requires B % data and KV % model == 0 (and H % KV == 0 locally).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     d, m = data_axis, model_axis
@@ -235,6 +235,6 @@ def kivi_decode_attention_sharded(
         fn, mesh=mesh,
         in_specs=(q_spec,) + (cache_spec,) * 8 + (len_spec, len_spec),
         out_specs=q_spec,
-        check_rep=False,
+        check_vma=False,
     )(q, k_codes, k_scale, k_zp, v_codes, v_scale, v_zp,
       k_res, v_res, main_len, res_len)

@@ -1,0 +1,90 @@
+"""Ring (sequence-parallel) attention vs single-device oracle on the
+8-device virtual CPU mesh, incl. the quantized-payload composition."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quantized_training_tpu.parallel import create_mesh
+from quantized_training_tpu.parallel.ring_attention import (
+    ring_attention, ring_attention_reference,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices("cpu")) < 8, reason="needs 8 virtual devices"
+)
+
+
+def seq_mesh(n=8):
+    return create_mesh(data=n, model=1, devices=jax.devices("cpu"))
+
+
+def make_qkv(B=2, S=256, H=4, D=32, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((B, S, H, D)), dtype)
+    return mk(), mk(), mk()
+
+
+class TestRingAttention:
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_matches_single_device(self, causal):
+        q, k, v = make_qkv()
+        mesh = seq_mesh()
+        out = ring_attention(q, k, v, mesh, seq_axis="data", causal=causal)
+        ref = ring_attention_reference(q, k, v, causal=causal)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_quantized_payload_matches_oracle(self):
+        # uint4 codes+scales rotate the ring; result equals attention over
+        # the dequantized K/V (group boundaries align: S_loc=32, bs=32)
+        spec = "uint4,qs=group_wise_affine,bs=32,ax=1"
+        q, k, v = make_qkv(seed=1)
+        mesh = seq_mesh()
+        out = ring_attention(q, k, v, mesh, seq_axis="data", causal=True,
+                             kv_spec=spec)
+        ref = ring_attention_reference(q, k, v, causal=True, kv_spec=spec)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+        # and quantization changed the payload but not the structure
+        ref_fp = ring_attention_reference(q, k, v, causal=True)
+        assert not np.allclose(np.asarray(out), np.asarray(ref_fp),
+                               rtol=1e-6, atol=1e-6)
+
+    def test_feature_axis_quantization(self):
+        spec = "uint4,qs=group_wise_affine,bs=16,ax=-1"
+        q, k, v = make_qkv(seed=2)
+        mesh = seq_mesh()
+        out = ring_attention(q, k, v, mesh, seq_axis="data", causal=False,
+                             kv_spec=spec)
+        ref = ring_attention_reference(q, k, v, causal=False, kv_spec=spec)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_bf16_inputs(self):
+        q, k, v = make_qkv(seed=3, dtype=jnp.bfloat16)
+        mesh = seq_mesh()
+        out = ring_attention(q, k, v, mesh, seq_axis="data", causal=True)
+        ref = ring_attention_reference(q, k, v, causal=True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_grad_flows(self):
+        # ring attention must be differentiable (training path)
+        q, k, v = make_qkv(B=1, S=64, H=2, D=16, seed=4)
+        mesh = seq_mesh()
+
+        def loss(q, k, v):
+            return jnp.sum(
+                ring_attention(q, k, v, mesh, seq_axis="data") ** 2)
+
+        g = jax.grad(loss)(q, k, v)
+        def ref_loss(q, k, v):
+            return jnp.sum(ring_attention_reference(q, k, v) ** 2)
+        g_ref = jax.grad(ref_loss)(q, k, v)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)
