@@ -5,12 +5,16 @@ host-side loops measure RPC, not compute.  Protocol (see ROUND1_NOTES.md):
 run the iteration loop on-device inside one jit, fetch a scalar to force
 completion, and subtract the n=1 run to remove dispatch+fetch overhead.
 
-Two traps this version fixes (observed: "0 us" / >1 TB/s readings):
+Three traps this version fixes (observed: "0 us" / >1 TB/s readings):
   * a loop body that reads the SAME input every iteration is loop-invariant
     up to the accumulator — XLA hoists the computation out of the fori loop.
     The body must index a different input copy per step (i % copies).
-  * the n=1 dispatch baseline is noisy on the tunnel; measure it with extra
-    repeats and clamp the subtraction.
+  * reducing only out[:1] lets XLA slice-propagate through ELEMENTWISE
+    bodies and compute one element per iteration (a bf16 "copy" measured
+    1324 GB/s).  An optimization_barrier on the output forces full
+    materialization before the scalar accumulate.
+  * the n=1 dispatch baseline is noisy on the tunnel (±2 ms); use many
+    iters so the division amortizes it, and extra baseline repeats.
 """
 
 import time
@@ -22,7 +26,7 @@ import jax.numpy as jnp
 __all__ = ["time_fn"]
 
 
-def time_fn(fn, *args, iters: int = 32, copies: int = 2,
+def time_fn(fn, *args, iters: int = 128, copies: int = 2,
             repeats: int = 5) -> float:
     """Seconds per call of ``fn(*args)`` (on-device loop protocol).
 
@@ -40,7 +44,7 @@ def time_fn(fn, *args, iters: int = 32, copies: int = 2,
     def run(n, xs, *rest):
         def body(i, acc):
             x = jax.lax.dynamic_index_in_dim(xs, i % copies, keepdims=False)
-            out = fn(x, *rest)
+            out = jax.lax.optimization_barrier(fn(x, *rest))
             return acc + out.ravel()[:1].astype(jnp.float32).sum()
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))

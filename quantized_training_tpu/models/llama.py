@@ -210,12 +210,13 @@ class LlamaAttention(nn.Module, QuantMixin):
             k, v = cache_k.value, cache_v.value
 
         if self._flash_eligible(attention_mask, use_cache, S, D):
-            ctx = self._flash_path(q, k, v)
+            ctx, o_prequantized = self._flash_path(q, k, v)
         else:
             ctx = self._naive_path(
                 q, k, v, attention_mask, use_cache, cache_index, B, S)
+            o_prequantized = False
         ctx = ctx.reshape(B, S, H * D)
-        return dense(cfg.hidden_size, "o_proj")(ctx)
+        return dense(cfg.hidden_size, "o_proj", o_prequantized)(ctx)
 
     # -- fused KIVI decode path ---------------------------------------------
 
@@ -295,24 +296,39 @@ class LlamaAttention(nn.Module, QuantMixin):
         return True
 
     def _flash_path(self, q, k, v):
-        """Quantization-fused flash attention (q/k/v in (B, S, H, D))."""
-        from ..numerics import quantize_fn, quantize_fn_positive
+        """Quantization-fused flash attention (q/k/v in (B, S, H, D)).
+
+        Returns (context, o_prequantized): when the o_proj GEMM-input site
+        is a direct rounding, the kernel quantizes its own output in the
+        epilogue (no extra HBM pass) and o_proj skips its input quant."""
+        from ..numerics import quantize_fn, quantize_fn_unit
         from ..ops.pallas.flash_attention import flash_attention
 
         qd = self._site_direct_dtype("matmul", OpCategory.GEMM, 0)
         kd = self._site_direct_dtype("matmul", OpCategory.GEMM, 1)
         pd = self._site_direct_dtype("matmul", OpCategory.GEMM, 0, "av")
         vd = self._site_direct_dtype("matmul", OpCategory.GEMM, 1, "av")
+        od = None
+        cfg_q = self._qconfig()
+        if cfg_q is not None:
+            ospec = cfg_q.activation_spec(
+                f"{self._path_str}.o_proj", "linear", OpCategory.GEMM, 0)
+            if (ospec is not None and ospec.qscheme is None
+                    and ospec.outlier_threshold is None):
+                od = ospec.dtype
         out = flash_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
             q_qfn=quantize_fn(qd) if qd else None,
             k_qfn=quantize_fn(kd) if kd else None,
-            p_qfn=quantize_fn_positive(pd) if pd else None,
+            # probs live in [0, 1]: the unit-specialized kernel (bit-equal
+            # on that domain, exhaustively tested) is the O(S^2) hot path
+            p_qfn=quantize_fn_unit(pd) if pd else None,
             v_qfn=quantize_fn(vd) if vd else None,
+            out_qfn=quantize_fn(od) if od else None,
         )
-        return out.transpose(0, 2, 1, 3)
+        return out.transpose(0, 2, 1, 3), od is not None
 
     # -- naive path ---------------------------------------------------------
 

@@ -10,6 +10,7 @@ direct quantizers agree with the reference framework bit-for-bit.
 from .posit import (
     quantize_to_posit,
     quantize_to_posit_positive,
+    quantize_to_posit_unit,
     quantize_to_posit_fast,
     decode_posit,
     encode_posit,
@@ -32,6 +33,7 @@ from .lut import (
     lut_indices,
     quantize_fn,
     quantize_fn_positive,
+    quantize_fn_unit,
     dequantize_nf,
 )
 from .mx import (
@@ -44,6 +46,7 @@ from .mx import (
 __all__ = [
     "quantize_to_posit",
     "quantize_to_posit_positive",
+    "quantize_to_posit_unit",
     "quantize_to_posit_fast",
     "decode_posit",
     "encode_posit",
@@ -65,6 +68,7 @@ __all__ = [
     "lut_indices",
     "quantize_fn",
     "quantize_fn_positive",
+    "quantize_fn_unit",
     "dequantize_nf",
     "shared_exponents",
     "reshape_to_blocks",

@@ -38,6 +38,7 @@ from .posit import (
     quantize_to_posit,
     quantize_to_posit_fast,
     quantize_to_posit_positive,
+    quantize_to_posit_unit,
 )
 
 __all__ = [
@@ -46,6 +47,7 @@ __all__ = [
     "apply_lut",
     "quantize_fn",
     "quantize_fn_positive",
+    "quantize_fn_unit",
     "dequantize_nf",
 ]
 
@@ -191,3 +193,17 @@ def quantize_fn_positive(dtype: Optional[str]) -> Callable[[jax.Array], jax.Arra
         nbits, es = int(m.group(1)), int(m.group(2))
         return partial(quantize_to_posit_positive, nbits=nbits, es=es)
     return quantize_fn(dtype)
+
+
+@lru_cache(maxsize=None)
+def quantize_fn_unit(dtype: Optional[str]) -> Callable[[jax.Array], jax.Array]:
+    """Like :func:`quantize_fn_positive` but for inputs known to lie in
+    [0, 1] (softmax probabilities): posit formats dispatch to the further
+    specialized :func:`quantize_to_posit_unit` (no sign select, no maxpos
+    clamp — the flash kernel's hot path)."""
+    if dtype is None:
+        return lambda x: x
+    if (m := re.fullmatch(r"posit(\d+)_(\d+)", dtype)):
+        nbits, es = int(m.group(1)), int(m.group(2))
+        return partial(quantize_to_posit_unit, nbits=nbits, es=es)
+    return quantize_fn_positive(dtype)

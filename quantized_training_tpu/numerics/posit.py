@@ -29,8 +29,8 @@ from .bitutils import (
 )
 
 __all__ = ["quantize_to_posit", "quantize_to_posit_positive",
-           "quantize_to_posit_fast", "decode_posit", "encode_posit",
-           "posit_max_value"]
+           "quantize_to_posit_unit", "quantize_to_posit_fast",
+           "decode_posit", "encode_posit", "posit_max_value"]
 
 
 def posit_max_value(nbits: int, es: int) -> float:
@@ -160,7 +160,7 @@ def quantize_to_posit_positive(
     # is regime territory — handled by the input saturation above).
     run = jnp.where(e >= 0, 1 + (e >> es), -(e >> es))
     raw = run + es + 25 - nbits
-    s2 = jnp.clip(raw, 0, 23) + jnp.clip(raw - 23, 0, es)
+    s2 = jnp.clip(raw, 0, 23 + es)  # == clip(raw,0,23)+clip(raw-23,0,es)
 
     # A single variable-amount shift builds the rounding quantum; every other
     # quantity derives arithmetically (variable-shift ops are the expensive
@@ -194,6 +194,47 @@ def quantize_to_posit_positive(
     return out.astype(x.dtype)
 
 
+def quantize_to_posit_unit(
+    x: jax.Array, nbits: int = 8, es: int = 1
+) -> jax.Array:
+    """Posit rounding specialized to inputs in [0, 1] — softmax probabilities
+    inside the flash kernel, the hottest quantizer in the framework (O(S^2)
+    elements per layer).
+
+    Drops ops the unit interval makes dead: the exponent is always <= 0 (so
+    ``run = -(e >> es)`` needs no sign select; e == 0 can only be x == 1.0
+    exactly, whose zero mantissa rounds to itself at any position), and no
+    maxpos clamp is needed (values <= 1 round to <= 1).  Verified
+    bit-identical to :func:`quantize_to_posit_positive` over every bf16 in
+    [0, 1] by the exhaustive tests.
+    """
+    max_scale = (nbits - 2) * (1 << es)
+    minpos = jnp.float32(2.0 ** -max_scale)
+
+    xf0 = x.astype(jnp.float32)
+    bits = f32_bits(jnp.maximum(xf0, minpos))
+    e = ((bits >> 23) & 0xFF) - 127      # <= 0 on the unit interval
+
+    raw = -(e >> es) + es + 25 - nbits
+    s2 = jnp.clip(raw, 0, 23 + es)
+
+    q = jnp.left_shift(jnp.ones_like(bits), s2)
+    q_mask = q - 1
+    r = (127 << 23) & q_mask
+    lsb = jnp.where(
+        raw >= 23 + es,
+        jnp.ones_like(bits),             # regime tie-bit: always 1 for e < 0
+        (((bits - (127 << 23)) & q) != 0).astype(bits.dtype),
+    )
+    rounded = ((bits - r) + (q >> 1) - 1 + lsb) & jnp.bitwise_not(q_mask)
+    out = bits_f32(rounded + r)
+
+    threshold = math.pow(
+        2.0, math.floor(-(nbits - 1) * (1 << es) + 2 ** (es - 1)))
+    out = jnp.where(xf0 < threshold, 0.0, out)
+    return out.astype(x.dtype)
+
+
 def quantize_to_posit_fast(
     x: jax.Array, nbits: int = 8, es: int = 1
 ) -> jax.Array:
@@ -217,7 +258,7 @@ def quantize_to_posit_fast(
 
     run = jnp.where(e >= 0, 1 + (e >> es), -(e >> es))
     raw = run + es + 25 - nbits
-    s2 = jnp.clip(raw, 0, 23) + jnp.clip(raw - 23, 0, es)
+    s2 = jnp.clip(raw, 0, 23 + es)  # == clip(raw,0,23)+clip(raw-23,0,es)
 
     q = jnp.left_shift(jnp.ones_like(bits), s2)
     q_mask = q - 1

@@ -3,11 +3,15 @@
 The reference framework makes attention quantizable by splitting it per head
 and inserting fake-quant nodes around the qk / av matmuls, softmax and the
 scaling mul (reference: mapping.py:285-383, modules/quantizable/*).  On TPU
-the (B, H, S, S) score tensor never exists in HBM at all, and the
-*probability* quantizer runs inside the kernel (p never exists outside it).
-The q/k/v quantizers are elementwise, so they are hoisted to XLA — one fused
-pass per tensor instead of one per grid step — and the kernel consumes the
-pre-rounded operands; only p_qfn executes in-kernel.
+the (B, H, S, S) score tensor never exists in HBM at all.  Quantizer
+placement (deliberate, measured):
+  * q/k/v quantizers are elementwise and hoisted to XLA — one fused pass
+    per tensor instead of one per grid step (k/v would re-round once per
+    q-block in-kernel); the kernel consumes pre-rounded operands.
+  * p_qfn (probability rounding) runs in-kernel — p never exists outside.
+  * out_qfn (the o_proj GEMM-input rounding) runs in the kernel epilogue,
+    riding the output write instead of a separate HBM pass.
+Block sizes come from the VMEM-budget model in autotune.py unless pinned.
 
 Online-softmax notes:
   * q/k/v quantization hooks are exact (elementwise on tiles).
@@ -46,16 +50,24 @@ LANES = 128  # row-stat minor dim (lse/di stored replicated across lanes)
 
 
 def _attn_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref,
-    acc_ref, m_ref, l_ref,
-    *,
+    q_ref, k_ref, v_ref, o_ref, *rest,
     scale: float,
     causal: bool,
     q_offset: int,
     block_q: int,
     block_k: int,
-    q_qfn, k_qfn, p_qfn, v_qfn,
+    q_qfn, k_qfn, p_qfn, v_qfn, out_qfn,
+    save_lse: bool,
 ):
+    o_raw_ref = None
+    if save_lse:
+        if out_qfn is not None:
+            lse_ref, o_raw_ref, acc_ref, m_ref, l_ref = rest
+        else:
+            lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
+        lse_ref = None
     i = pl.program_id(2)  # q block
     j = pl.program_id(3)  # k block
     nk = pl.num_programs(3)
@@ -121,11 +133,21 @@ def _attn_kernel(
     def _finalize():
         l = l_ref[:]
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        # logsumexp per row, replicated over the lane dim for the backward
-        # kernels (the in-VMEM layout row-stats want: (block_q, LANES))
-        lse = m_ref[:] + jnp.log(l)
-        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, LANES))
+        o_val = (acc_ref[:] / l).astype(o_ref.dtype)
+        if out_qfn is None:
+            o_ref[0, 0] = o_val
+        else:
+            # epilogue quantization: the o_proj GEMM-input rounding rides the
+            # kernel's own output write (round the bf16 value, like the XLA
+            # site would).  The raw o is kept for the backward's di term.
+            o_ref[0, 0] = out_qfn(o_val).astype(o_ref.dtype)
+            if o_raw_ref is not None:
+                o_raw_ref[0, 0] = o_val
+        if save_lse:
+            # logsumexp per row, replicated over the lane dim for the
+            # backward kernels (in-VMEM row-stat layout: (block_q, LANES))
+            lse = m_ref[:] + jnp.log(l)
+            lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, LANES))
 
 
 def _bwd_dq_kernel(
@@ -289,8 +311,9 @@ def flash_attention(
     k_qfn: Optional[Callable] = None,
     p_qfn: Optional[Callable] = None,
     v_qfn: Optional[Callable] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    out_qfn: Optional[Callable] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Causal flash attention with optional in-kernel quantization.
@@ -340,50 +363,66 @@ def flash_attention(
         platform = dev.platform if dev is not None else jax.default_backend()
         interpret = platform != "tpu"
 
-    block_q = min(block_q, S)
-    block_k = min(block_k, T)
+    # VMEM-budget block selection (autotune.py; measured sweet spot is
+    # (1024, 1024) on v5e — 1.8x over the old fixed (256, 512)).
+    from .autotune import attention_blocks, attention_bwd_blocks
+
+    auto_bq, auto_bk = attention_blocks(S, T, D, quantized=p_qfn is not None)
+    block_q = auto_bq if block_q is None else min(block_q, S)
+    block_k = auto_bk if block_k is None else min(block_k, T)
     assert S % block_q == 0, (S, block_q)
     assert T % block_k == 0, (T, block_k)
 
     grid = (B, H, S // block_q, T // block_k)
 
-    kernel = functools.partial(
-        _attn_kernel,
-        scale=scale, causal=causal, q_offset=q_offset,
-        block_q=block_q, block_k=block_k,
-        q_qfn=q_qfn, k_qfn=k_qfn, p_qfn=p_qfn, v_qfn=v_qfn,
-    )
-
     q_map = lambda b, h, i, j: (b, h, i, 0)
     kv_map = lambda b, h, i, j, group=group: (b, h // group, j, 0)
 
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), q_map),
-            pl.BlockSpec((1, 1, block_k, D), kv_map),
-            pl.BlockSpec((1, 1, block_k, D), kv_map),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, D), q_map),
-            pl.BlockSpec((1, 1, block_q, LANES), q_map),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, S, LANES), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
-        interpret=interpret,
-    )
+    def _make_call(save_lse: bool):
+        kernel = functools.partial(
+            _attn_kernel,
+            scale=scale, causal=causal, q_offset=q_offset,
+            block_q=block_q, block_k=block_k,
+            q_qfn=q_qfn, k_qfn=k_qfn, p_qfn=p_qfn, v_qfn=v_qfn,
+            out_qfn=out_qfn,
+            save_lse=save_lse,
+        )
+        out_specs = [pl.BlockSpec((1, 1, block_q, D), q_map)]
+        out_shape = [jax.ShapeDtypeStruct((B, H, S, D), q.dtype)]
+        if save_lse:
+            out_specs.append(pl.BlockSpec((1, 1, block_q, LANES), q_map))
+            out_shape.append(
+                jax.ShapeDtypeStruct((B, H, S, LANES), jnp.float32))
+            if out_qfn is not None:
+                # raw (pre-quant) o for the backward's di = rowsum(dO*O)
+                out_specs.append(pl.BlockSpec((1, 1, block_q, D), q_map))
+                out_shape.append(jax.ShapeDtypeStruct((B, H, S, D), q.dtype))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), q_map),
+                pl.BlockSpec((1, 1, block_k, D), kv_map),
+                pl.BlockSpec((1, 1, block_k, D), kv_map),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, D), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+            ),
+            interpret=interpret,
+        )
+
+    # Inference never pays for the logsumexp output; the fwd-for-backward
+    # variant saves it for the tile-recomputing backward kernels.
+    call = _make_call(save_lse=False)
+    call_lse = _make_call(save_lse=True)
 
     def _flash_bwd(qr, kr, vr, lse, o, g):
         """Tile-recomputed flash backward: dq then dk/dv, no (S, T) tensor
@@ -393,24 +432,28 @@ def flash_attention(
         di = jnp.sum(do * o.astype(jnp.float32), axis=-1)       # (B, H, S)
         di = jnp.broadcast_to(di[..., None], (B, H, S, LANES))
 
+        # backward tiles hold ~1.5x the forward footprint — own block sizes
+        bq2, bk2 = attention_bwd_blocks(S, T, D)
+        bq_map = lambda b, h, i, j: (b, h, i, 0)
+        bkv_map = lambda b, h, i, j, group=group: (b, h // group, j, 0)
         common = dict(
             scale=scale, causal=causal, q_offset=q_offset,
-            block_q=block_q, block_k=block_k,
+            block_q=bq2, block_k=bk2,
         )
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel, **common),
-            grid=(B, H, S // block_q, T // block_k),
+            grid=(B, H, S // bq2, T // bk2),
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, D), q_map),
-                pl.BlockSpec((1, 1, block_k, D), kv_map),
-                pl.BlockSpec((1, 1, block_k, D), kv_map),
-                pl.BlockSpec((1, 1, block_q, D), q_map),
-                pl.BlockSpec((1, 1, block_q, LANES), q_map),
-                pl.BlockSpec((1, 1, block_q, LANES), q_map),
+                pl.BlockSpec((1, 1, bq2, D), bq_map),
+                pl.BlockSpec((1, 1, bk2, D), bkv_map),
+                pl.BlockSpec((1, 1, bk2, D), bkv_map),
+                pl.BlockSpec((1, 1, bq2, D), bq_map),
+                pl.BlockSpec((1, 1, bq2, LANES), bq_map),
+                pl.BlockSpec((1, 1, bq2, LANES), bq_map),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, D), q_map),
+            out_specs=pl.BlockSpec((1, 1, bq2, D), bq_map),
             out_shape=jax.ShapeDtypeStruct((B, H, S, D), qr.dtype),
-            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((bq2, D), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel",
                                      "arbitrary"),
@@ -424,19 +467,19 @@ def flash_attention(
         q_i_map = lambda b, h, j, i: (b, h, i, 0)
         dk_h, dv_h = pl.pallas_call(
             functools.partial(_bwd_dkv_kernel, **common),
-            grid=(B, H, T // block_k, S // block_q),
+            grid=(B, H, T // bk2, S // bq2),
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, D), q_i_map),
-                pl.BlockSpec((1, 1, block_k, D), kv_j_map),
-                pl.BlockSpec((1, 1, block_k, D), kv_j_map),
-                pl.BlockSpec((1, 1, block_q, D), q_i_map),
-                pl.BlockSpec((1, 1, block_q, LANES), q_i_map),
-                pl.BlockSpec((1, 1, block_q, LANES), q_i_map),
+                pl.BlockSpec((1, 1, bq2, D), q_i_map),
+                pl.BlockSpec((1, 1, bk2, D), kv_j_map),
+                pl.BlockSpec((1, 1, bk2, D), kv_j_map),
+                pl.BlockSpec((1, 1, bq2, D), q_i_map),
+                pl.BlockSpec((1, 1, bq2, LANES), q_i_map),
+                pl.BlockSpec((1, 1, bq2, LANES), q_i_map),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, block_k, D),
+                pl.BlockSpec((1, 1, bk2, D),
                              lambda b, h, j, i: (b, h, j, 0)),
-                pl.BlockSpec((1, 1, block_k, D),
+                pl.BlockSpec((1, 1, bk2, D),
                              lambda b, h, j, i: (b, h, j, 0)),
             ],
             out_shape=[
@@ -444,8 +487,8 @@ def flash_attention(
                 jax.ShapeDtypeStruct((B, H, T, D), vr.dtype),
             ],
             scratch_shapes=[
-                pltpu.VMEM((block_k, D), jnp.float32),
-                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((bk2, D), jnp.float32),
+                pltpu.VMEM((bk2, D), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel",
@@ -465,8 +508,11 @@ def flash_attention(
         return call(q, k, v)[0]
 
     def _fa_fwd(q, k, v):
-        o, lse = call(q, k, v)
-        return o, (q, k, v, lse, o)
+        outs = call_lse(q, k, v)
+        o, lse = outs[0], outs[1]
+        # with out_qfn, o is the quantized output; di needs the raw one
+        o_raw = outs[2] if out_qfn is not None else o
+        return o, (q, k, v, lse, o_raw)
 
     def _fa_bwd(res, g):
         qr, kr, vr, lse, o = res

@@ -133,12 +133,13 @@ def _direct_round_fn(spec: QuantizationSpec):
 
     def value(t):
         if _pallas_elemwise_enabled():
-            from ..ops.pallas.quantize_elemwise import (
-                pallas_quantize, pallas_quantize_eligible,
-            )
-
-            if pallas_quantize_eligible(t):
-                return pallas_quantize(t, qfn)
+            # XLA runs the rounding chain ~3x faster than Mosaic (better VPU
+            # ILP), but left alone it fuses the chain into the consumer
+            # matmul, making the GEMM VPU-bound.  The barrier pins the chain
+            # as its own (or the producer's) fusion while keeping the matmul
+            # clean; measured best of the three routings (see ROUND2_NOTES).
+            return jax.lax.optimization_barrier(
+                qfn(materialize_rounding(t)))
         return qfn(materialize_rounding(t))
 
     return value

@@ -173,6 +173,26 @@ def test_nf_exhaustive(dtype):
     np.testing.assert_array_equal(ours_deq, ref_deq, err_msg=f"{dtype} values")
 
 
+@pytest.mark.parametrize("nbits,es", [(8, 1), (8, 2), (8, 0), (16, 1), (6, 1)])
+def test_posit_unit_kernel_exhaustive(nbits, es):
+    """quantize_to_posit_unit == quantize_to_posit_positive on every bf16 in
+    [0, 1] (its declared domain — softmax probabilities)."""
+    from quantized_training_tpu.numerics import (
+        quantize_to_posit_positive, quantize_to_posit_unit,
+    )
+
+    universe = bf16_universe()
+    vals = np.asarray(universe.astype(jnp.float32))
+    in_unit = (vals >= 0.0) & (vals <= 1.0)
+
+    full = np.asarray(
+        quantize_to_posit_positive(universe, nbits, es).astype(jnp.float32))
+    unit = np.asarray(
+        quantize_to_posit_unit(universe, nbits, es).astype(jnp.float32))
+    np.testing.assert_array_equal(
+        unit[in_unit], full[in_unit], err_msg=f"posit{nbits}_{es} unit")
+
+
 def test_lut_consistency_posit():
     """Direct quantizer == LUT gather on random f32 inputs (sticky-bit key)."""
     from quantized_training_tpu.numerics import quantize_to_posit
