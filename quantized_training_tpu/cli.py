@@ -113,4 +113,12 @@ def quant_config_from_args(args) -> Optional[QuantConfig]:
                             (args.lora_target_modules,))
     if getattr(args, "record_histogram", False):
         cfg = cfg.with_histograms()
+    if (getattr(args, "posit_exp", False)
+            or getattr(args, "posit_exp_shifted", False)
+            or getattr(args, "posit_reciprocal", False)):
+        cfg = cfg.with_posit_softmax(
+            exp=getattr(args, "posit_exp", False),
+            exp_shifted=getattr(args, "posit_exp_shifted", False),
+            reciprocal=getattr(args, "posit_reciprocal", False),
+        )
     return cfg

@@ -6,6 +6,7 @@ from .layers import (
     QDense,
     QLoRADense,
     QConv,
+    QConvBn,
     QLayerNorm,
     QRMSNorm,
     NoNorm,
@@ -39,6 +40,7 @@ __all__ = [
     "QDense",
     "QLoRADense",
     "QConv",
+    "QConvBn",
     "QLayerNorm",
     "QRMSNorm",
     "NoNorm",

@@ -38,6 +38,7 @@ __all__ = [
     "QDense",
     "QLoRADense",
     "QConv",
+    "QConvBn",
     "QLayerNorm",
     "QRMSNorm",
     "NoNorm",
@@ -443,6 +444,85 @@ class QConv(nn.Module, QuantMixin):
         return y
 
 
+class QConvBn(nn.Module, QuantMixin):
+    """Conv2d + BatchNorm QAT pair with in-training scaled-weight folding.
+
+    The reference trains ConvBn modules whose *fake-quantized* weight is the
+    BN-folded one (reference: modules/qat/conv_fused.py:25-363, the
+    torch.ao approximate-folding scheme): each step scales the kernel by
+    gamma / sqrt(running_var + eps), fake-quantizes THAT weight (what the
+    deployed conv will actually carry), runs the conv, unscales, and applies
+    train-mode BatchNorm with batch statistics.  At eval the running stats
+    make the whole pair collapse to the folded conv, so quantization noise
+    seen in training equals the deployed graph's.
+
+    Use :func:`quantized_training_tpu.models.resnet.fold_batchnorm` (or
+    :meth:`fold` here) to produce the deployment-time plain-conv params.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    feature_group_count: int = 1
+    epsilon: float = 1e-5
+    momentum: float = 0.9
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    qconfig: Optional[QuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        F = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            self.kernel_size
+            + (x.shape[-1] // self.feature_group_count, F),
+            self.param_dtype,
+        )
+        gamma = self.param("scale", nn.initializers.ones_init(), (F,),
+                           jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros_init(), (F,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((F,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((F,), jnp.float32))
+
+        # 1. fold the *running*-stat scale into the weight and quantize THAT
+        #    (the tensor the deployed conv will carry)
+        scale = gamma * jax.lax.rsqrt(ra_var.value + self.epsilon)   # (F,)
+        w_scaled = (kernel * scale[None, None, None, :]).astype(self.dtype)
+        w_scaled = self.weight_fake_quant(w_scaled, op="conv2d")
+
+        x = self.quant_input(x, "conv2d", OpCategory.GEMM, 0)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w_scaled,
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+        ).astype(jnp.float32)
+
+        if train:
+            # 2. undo the fold, then normalize with *batch* statistics
+            #    (torch.ao _forward_approximate)
+            y = y / scale[None, None, None, :]
+            mean = jnp.mean(y, axis=(0, 1, 2))
+            var = jnp.var(y, axis=(0, 1, 2))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+            out = (y - mean) * jax.lax.rsqrt(var + self.epsilon)
+            out = out * gamma + beta
+        else:
+            # eval: the running stats ARE the folded scale — only the bias
+            # correction remains
+            out = y + (beta - ra_mean.value * scale)[None, None, None, :]
+        return out.astype(self.dtype)
+
+
 class QLayerNorm(nn.Module, QuantMixin):
     """LayerNorm with a quantized input (layernorm category)."""
 
@@ -529,14 +609,18 @@ class QSoftmax(nn.Module, QuantMixin):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = self.quant_activation_input(x, "softmax")
-        if self.posit_exp or self.posit_exp_shifted or self.posit_reciprocal:
+        # module attrs OR the QuantConfig flags (the CLI's --posit_exp /
+        # --posit_reciprocal arrive via the config so every model's
+        # attention picks them up without per-model plumbing)
+        cfg = self._qconfig()
+        use_exp = bool(self.posit_exp or self.posit_exp_shifted or (
+            cfg is not None and (cfg.posit_exp or cfg.posit_exp_shifted)))
+        use_recip = bool(self.posit_reciprocal or (
+            cfg is not None and cfg.posit_reciprocal))
+        if use_exp or use_recip:
             from ..ops.softmax import posit_softmax
 
-            out = posit_softmax(
-                x,
-                bool(self.posit_exp or self.posit_exp_shifted),
-                bool(self.posit_reciprocal),
-            )
+            out = posit_softmax(x, use_exp, use_recip)
             return out.astype(self.dtype)
         xf = x.astype(jnp.float32)
         x_max = jnp.max(xf, axis=-1, keepdims=True)

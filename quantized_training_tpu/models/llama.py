@@ -241,6 +241,8 @@ class LlamaAttention(nn.Module, QuantMixin):
         cfg_q = self._qconfig()
         if cfg_q is None:
             return True
+        if cfg_q.posit_exp or cfg_q.posit_exp_shifted or cfg_q.posit_reciprocal:
+            return False
         path = self._path_str
         sites = [
             cfg_q.activation_spec(path, "matmul", OpCategory.GEMM, 0),
@@ -287,6 +289,8 @@ class LlamaAttention(nn.Module, QuantMixin):
             return False
         # scaling / softmax-input quantization and posit softmax need the
         # naive path ("no fusion" ladder rungs).
+        if cfg_q.posit_exp or cfg_q.posit_exp_shifted or cfg_q.posit_reciprocal:
+            return False
         if cfg_q.activation_spec(self._path_str, "mul", OpCategory.SCALING, 0) is not None:
             return False
         if cfg_q.activation_spec(self._path_str, "softmax", OpCategory.ACTIVATION, 0) is not None:

@@ -150,6 +150,12 @@ class QuantConfig:
     lora_targets: Tuple[str, ...] = ()
     # Record per-observer exponent histograms (reference --record_histogram).
     record_histogram: bool = False
+    # Posit-approximated softmax (reference --posit_exp[_shifted] /
+    # --posit_reciprocal, modules/softmax.py): QSoftmax modules read these
+    # so the "posit8-approx" paper rungs reach every model's attention.
+    posit_exp: bool = False
+    posit_exp_shifted: bool = False
+    posit_reciprocal: bool = False
 
     # ---- builder API (mirrors set_global / set_module_name / ...) ----
     def set_global(self, qconfig: QConfig) -> "QuantConfig":
@@ -192,6 +198,11 @@ class QuantConfig:
 
     def with_histograms(self, on: bool = True) -> "QuantConfig":
         return replace(self, record_histogram=on)
+
+    def with_posit_softmax(self, exp: bool = False, exp_shifted: bool = False,
+                           reciprocal: bool = False) -> "QuantConfig":
+        return replace(self, posit_exp=exp, posit_exp_shifted=exp_shifted,
+                       posit_reciprocal=reciprocal)
 
     def lora_matches(self, path: str) -> bool:
         return self.lora_rank > 0 and any(

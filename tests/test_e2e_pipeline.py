@@ -121,19 +121,36 @@ def test_gpt2_dtype_sweep_ppl():
     fmodel = GPT2LMHeadModel(cfg, None)
     vars_ = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(tokens[None, :32]))
 
-    ppls = {}
-    for dtype in [None, "e4m3", "fp6_e2m3", "fp4_e2m1"]:
+    def rung(dtype, approx=False):
         qc = None
         if dtype:
             qc = QuantConfig(global_qconfig=QConfig.from_strs(
                 activation=dtype, weight=dtype)).with_fusion(forward="gemm")
+            if approx:
+                qc = qc.with_posit_softmax(exp=True, reciprocal=True)
         model = GPT2LMHeadModel(cfg, qc)
         fwd = jax.jit(lambda ids, model=model: model.apply(vars_, ids))
-        ppls[dtype or "bf16"] = sliding_window_perplexity(
-            fwd, tokens, max_length=32, stride=16)
+        return sliding_window_perplexity(fwd, tokens, max_length=32, stride=16)
+
+    ppls = {name: rung(dtype, approx) for name, dtype, approx in [
+        ("bf16", None, False),
+        ("e4m3", "e4m3", False),
+        ("fp6_e2m3", "fp6_e2m3", False),
+        ("fp4_e2m1", "fp4_e2m1", False),
+        ("posit8_1", "posit8_1", False),
+        ("posit8_1-approx", "posit8_1", True),
+    ]}
     assert all(np.isfinite(v) for v in ppls.values())
     # fp4 must not beat the float model on the same weights
     assert ppls["fp4_e2m1"] >= ppls["bf16"] * 0.8
+    # posit8 (the paper's forward format) must track bf16 closely on a tiny
+    # random-init model, and the approx-softmax rung must stay in range —
+    # regression bounds standing in for the BASELINE tables (no checkpoints
+    # downloadable in this environment)
+    assert abs(ppls["posit8_1"] - ppls["bf16"]) / ppls["bf16"] < 0.05
+    assert abs(ppls["posit8_1-approx"] - ppls["bf16"]) / ppls["bf16"] < 0.08
+    # approx softmax must actually change the numerics (the flag is live)
+    assert ppls["posit8_1-approx"] != ppls["posit8_1"]
 
 
 def test_no_retrace_across_steps():
