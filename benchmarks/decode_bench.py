@@ -1,0 +1,139 @@
+"""Decode-path benchmark: fp cache vs fused-KIVI quantized cache.
+
+VERDICT r1 criterion: the uint4/uint2 KIVI cache must decode at least as
+fast as the fp cache at the round-1 config (LLaMA-stack 2048x8L, B8,
+prefill 512) — the fused dequant-attention kernel reads codes+scales+
+residual directly, so the full dequantized K/V never hits HBM.
+
+Timing protocol: the whole generation (prefill + N scan-decode steps) runs
+in a few dispatches; we time generate() end-to-end for N and 2N new tokens
+and report (t_2N - t_N) / N as ms/step — prefill and dispatch cancel.
+
+Prints one JSON line per cache config.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def build(kind: str):
+    from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+    from quantized_training_tpu.serving.kv_cache import KVCacheConfig
+
+    kcfg = None
+    if kind != "fp":
+        kcfg = KVCacheConfig.kivi(
+            max_prefill=512, max_decode=192,
+            k_spec=f"{kind},qs=group_wise_affine,bs=32,ax=-2",
+            v_spec=f"{kind},qs=group_wise_affine,bs=32,ax=-1",
+            pack=True,
+        )
+    cfg = LlamaConfig(
+        vocab_size=32000,
+        hidden_size=2048,
+        intermediate_size=5504,
+        num_hidden_layers=8,
+        num_attention_heads=16,
+        num_key_value_heads=16,
+        max_position_embeddings=1024,
+        kv_cache=kcfg,
+        use_fused_kivi=True,
+    )
+    return LlamaForCausalLM(cfg), cfg
+
+
+def make_decoder(model, S, n_steps):
+    """One jitted (prefill-cache, first-token) -> last-token decode scan.
+
+    Built ONCE per n_steps and reused across timing repeats, so repeats hit
+    the jit cache — generate() recreates its jits per call, which costs
+    seconds of tracing and would swamp the compute difference."""
+    from quantized_training_tpu.serving.generate import fast_argmax
+
+    kivi = getattr(model.config, "kv_cache", None) is not None
+
+    @jax.jit
+    def decode_all(var_args, cache, tok0):
+        def body(carry, _):
+            cache, tok, pos = carry
+            logits, upd = model.apply(
+                {**var_args, "cache": cache},
+                tok[:, None], use_cache=True, cache_index=pos,
+                prompt_len=S if kivi else None, mutable=["cache"],
+            )
+            nxt = fast_argmax(logits[:, -1])
+            return (upd["cache"], nxt, pos + 1), None
+
+        (cache, tok, _), _ = jax.lax.scan(
+            body, (cache, tok0, jnp.asarray(S, jnp.int32)), None,
+            length=n_steps)
+        return tok
+
+    return decode_all
+
+
+def time_decode(model, variables, ids, n_steps, repeats=5):
+    kivi = getattr(model.config, "kv_cache", None) is not None
+    B, S = ids.shape
+    logits, upd = jax.jit(
+        lambda v, i: model.apply(v, i, use_cache=True, cache_index=0,
+                                 prompt_len=S if kivi else None,
+                                 mutable=["cache"])
+    )(variables, ids)
+    cache = upd["cache"]
+    var_args = {k: v for k, v in variables.items() if k != "cache"}
+    tok0 = jnp.argmax(logits[:, -1], axis=-1)
+
+    fn = make_decoder(model, S, n_steps)
+    np.asarray(fn(var_args, cache, tok0))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        # host fetch = the only reliable completion barrier on this backend
+        np.asarray(fn(var_args, cache, tok0))
+        best = min(best, time.perf_counter() - t0)
+    print(f"  n={n_steps}: {best*1e3:.1f} ms total", file=sys.stderr,
+          flush=True)
+    return best
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    B, S = 8, 512
+    rng = np.random.default_rng(0)
+    n1, n2 = 8, 160
+
+    results = {}
+    for kind in ("fp", "uint4", "uint2"):
+        model, cfg = build(kind)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+        print(f"{kind}: timing...", file=sys.stderr, flush=True)
+        t1 = time_decode(model, variables, ids, n1)
+        t2 = time_decode(model, variables, ids, n2)
+        ms = (t2 - t1) / (n2 - n1) * 1e3
+        results[kind] = ms
+        print(json.dumps({
+            "metric": f"llama2s_decode_{kind}_ms_per_step",
+            "value": round(ms, 3),
+            "unit": "ms/step",
+            "config": "2048x8L B8 prefill512 fused-kivi scan-decode",
+        }), flush=True)
+
+    print(json.dumps({
+        "metric": "kivi_uint4_vs_fp_decode_speedup",
+        "value": round(results["fp"] / results["uint4"], 3),
+        "unit": "x",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

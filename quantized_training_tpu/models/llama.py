@@ -232,7 +232,9 @@ class LlamaAttention(nn.Module, QuantMixin):
             return False
         if kcfg.k_spec is None or kcfg.v_spec is None:
             return False
-        if kcfg.k_spec.ch_axis != 1 or kcfg.v_spec.ch_axis != 3:
+        # head-major cache layout (B, KV, T, D): K grouped along tokens
+        # (axis 2), V along features (axis 3)
+        if kcfg.k_spec.ch_axis != 2 or kcfg.v_spec.ch_axis != 3:
             return False
         dev = jax.config.jax_default_device
         platform = dev.platform if dev is not None else jax.default_backend()

@@ -24,8 +24,11 @@ residual slot r visible iff r < res_len — equivalent to the model's
 residual_causal_mask / per_slot_mask applied after the current token's K/V
 was appended at index res_len-1.
 
-Shapes: q (B, H, D); codes (B, P[*bits/8], KV, D); k scales (B, P/bsK, KV, D);
-v scales (B, P, KV, D/bsV); residual (B, R, KV, D); lengths (B,) int32.
+Shapes (head-major cache layout, see serving/kv_cache.py): q (B, H, D);
+codes (B, KV, P[*bits/8], D); k scales (B, KV, P/bsK, D); v scales
+(B, KV, P, D/bsV); residual (B, KV, R, D); lengths (B,) int32.  Per grid
+step every operand block is a full trailing-2D tile — the layout Mosaic's
+block rules require and the DMA engine likes.
 """
 
 import functools
@@ -62,27 +65,28 @@ def _expansion_matrix(n: int, groups: int):
 
 
 def _kernel(
-    main_ref, res_ref,            # SMEM (1,) lengths for this batch row
+    main_ref, res_ref,            # SMEM (B, 1) lengths, indexed by batch row
     q_ref, kc_ref, ks_ref, kz_ref, vc_ref, vs_ref, vz_ref, kr_ref, vr_ref,
     o_ref,
     *,
     scale: float, P: int, bits_k: Optional[int], bits_v: Optional[int],
     gP: int, gD: int,
 ):
-    ml = main_ref[0, 0]
-    rl = res_ref[0, 0]
+    b = pl.program_id(0)
+    ml = main_ref[b, 0]
+    rl = res_ref[b, 0]
 
-    qf = q_ref[0].astype(jnp.float32) * scale          # (group, D)
+    qf = q_ref[0, 0].astype(jnp.float32) * scale       # (group, D)
     group, D = qf.shape
 
     # ---- K main: unpack + dequantize in VMEM --------------------------------
-    kc = _unpack_planar(kc_ref[0, :, 0, :], bits_k).astype(jnp.float32)
+    kc = _unpack_planar(kc_ref[0, 0], bits_k).astype(jnp.float32)
     ep = _expansion_matrix(P, gP)                       # (P, gP)
     ks = jax.lax.dot_general(                           # (P, D) expanded scale
-        ep, ks_ref[0, :, 0, :].astype(jnp.float32),
+        ep, ks_ref[0, 0].astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     kz = jax.lax.dot_general(
-        ep, kz_ref[0, :, 0, :].astype(jnp.float32),
+        ep, kz_ref[0, 0].astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     k = (kc - kz) * ks                                  # (P, D) f32
 
@@ -92,7 +96,7 @@ def _kernel(
     s_main = jnp.where(t_idx < ml, s_main, NEG_INF)
 
     # ---- residual scores ----------------------------------------------------
-    kr = kr_ref[0, :, 0, :].astype(jnp.float32)         # (R, D)
+    kr = kr_ref[0, 0].astype(jnp.float32)               # (R, D)
     R = kr.shape[0]
     s_res = jax.lax.dot_general(
         qf, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -108,25 +112,25 @@ def _kernel(
          + jnp.sum(p_res, axis=1, keepdims=True))
 
     # ---- V main: unpack + dequantize ---------------------------------------
-    vc = _unpack_planar(vc_ref[0, :, 0, :], bits_v).astype(jnp.float32)
+    vc = _unpack_planar(vc_ref[0, 0], bits_v).astype(jnp.float32)
     ed = _expansion_matrix(D, gD)                       # (D, gD)
     # scales are (P, gD): expand along lanes via (P,gD) @ (gD,D)
     vs = jax.lax.dot_general(
-        vs_ref[0, :, 0, :].astype(jnp.float32), ed,
+        vs_ref[0, 0].astype(jnp.float32), ed,
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     vz = jax.lax.dot_general(
-        vz_ref[0, :, 0, :].astype(jnp.float32), ed,
+        vz_ref[0, 0].astype(jnp.float32), ed,
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     v = (vc - vz) * vs                                  # (P, D)
 
-    vr = vr_ref[0, :, 0, :].astype(jnp.float32)         # (R, D)
+    vr = vr_ref[0, 0].astype(jnp.float32)               # (R, D)
     acc = jax.lax.dot_general(
         p_main, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc = acc + jax.lax.dot_general(
         p_res, vr, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
 def kivi_decode_attention(
@@ -143,17 +147,17 @@ def kivi_decode_attention(
 ) -> jax.Array:
     """One decode step of attention over the two-tier quantized cache.
 
-    q: (B, H, D).  k/v_codes: (B, P*, KV, D) with P* = P (unpacked int8) or
-    P*bits/8 (token-planar packed uint8).  k_scale/k_zp: (B, P/bsK, KV, D);
-    v_scale/v_zp: (B, P, KV, D/bsV).  k_res/v_res: (B, R, KV, D) bf16.
+    q: (B, H, D).  k/v_codes: (B, KV, P*, D) with P* = P (unpacked int8) or
+    P*bits/8 (token-planar packed uint8).  k_scale/k_zp: (B, KV, P/bsK, D);
+    v_scale/v_zp: (B, KV, P, D/bsV).  k_res/v_res: (B, KV, R, D) bf16.
     main_len/res_len: (B,) int32 — post-append visibility counts.
     Returns (B, H, D) in q.dtype.
     """
     B, H, D = q.shape
-    _, Pc, KV, _ = k_codes.shape
+    _, KV, Pc, _ = k_codes.shape
     P = Pc * (8 // bits_k) if bits_k else Pc
-    R = k_res.shape[1]
-    gP = k_scale.shape[1]
+    R = k_res.shape[2]
+    gP = k_scale.shape[2]
     gD = v_scale.shape[3]
     group = H // KV
     assert H % KV == 0, (H, KV)
@@ -172,33 +176,35 @@ def kivi_decode_attention(
     grid = (B, KV)
 
     def _bh(b, kv):
-        return (b, kv, 0)
+        return (b, kv, 0, 0)
 
-    def _cache(b, kv):
-        return (b, 0, kv, 0)
+    def _full(b, kv):
+        return (0, 0)
 
-    def _len(b, kv):
-        return (b, 0)
+    def _block4(n3, n4):
+        return pl.BlockSpec((1, 1, n3, n4), _bh)
 
-    Pv = v_codes.shape[1]
+    Pv = v_codes.shape[2]
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), _len, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), _len, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, group, D), _bh),
-            pl.BlockSpec((1, Pc, 1, D), _cache),
-            pl.BlockSpec((1, gP, 1, D), _cache),
-            pl.BlockSpec((1, gP, 1, D), _cache),
-            pl.BlockSpec((1, Pv, 1, D), _cache),
-            pl.BlockSpec((1, P, 1, gD), _cache),
-            pl.BlockSpec((1, P, 1, gD), _cache),
-            pl.BlockSpec((1, R, 1, D), _cache),
-            pl.BlockSpec((1, R, 1, D), _cache),
+            # lengths ride whole in SMEM (full-array block; Mosaic requires
+            # trailing block dims be full or (8, 128)-aligned)
+            pl.BlockSpec((B, 1), _full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), _full, memory_space=pltpu.SMEM),
+            _block4(group, D),
+            _block4(Pc, D),
+            _block4(gP, D),
+            _block4(gP, D),
+            _block4(Pv, D),
+            _block4(P, gD),
+            _block4(P, gD),
+            _block4(R, D),
+            _block4(R, D),
         ],
-        out_specs=pl.BlockSpec((1, group, D), _bh),
-        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        out_specs=_block4(group, D),
+        out_shape=jax.ShapeDtypeStruct((B, KV, group, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -206,9 +212,10 @@ def kivi_decode_attention(
     )(
         main_len.astype(jnp.int32).reshape(B, 1),
         res_len.astype(jnp.int32).reshape(B, 1),
-        q, k_codes, k_scale, k_zp, v_codes, v_scale, v_zp, k_res, v_res,
+        q.reshape(B, KV, group, D),
+        k_codes, k_scale, k_zp, v_codes, v_scale, v_zp, k_res, v_res,
     )
-    return out
+    return out.reshape(B, H, D)
 
 
 def kivi_decode_attention_sharded(
@@ -228,7 +235,7 @@ def kivi_decode_attention_sharded(
 
     d, m = data_axis, model_axis
     q_spec = P(d, m, None)
-    cache_spec = P(d, None, m, None)
+    cache_spec = P(d, m, None, None)
     len_spec = P(d)
     fn = functools.partial(kivi_decode_attention, **kwargs)
     return shard_map(

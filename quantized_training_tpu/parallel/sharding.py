@@ -58,14 +58,14 @@ def shard_rules_llama() -> Rules:
         (r"quant_state.*", P()),
         # fp KV cache: shard heads over the model axis, batch over data
         (r"cache_[kv]$", P(DATA_AXIS, None, m, None)),
-        # KIVI quantized cache (QuantizedKVCache leaves): lengths replicate;
-        # codes (B, P*, KV, D), k scales (B, gP, KV, D), v scales
-        # (B, P, KV, gD) and fp residuals (B, R, KV, D) all shard batch over
-        # data and kv-heads over model (the divisibility guard in
+        # KIVI quantized cache (QuantizedKVCache leaves, head-major layout):
+        # lengths replicate; codes (B, KV, P*, D), k scales (B, KV, gP, D),
+        # v scales (B, KV, P, gD) and fp residuals (B, KV, R, D) all shard
+        # batch over data and kv-heads over model (the divisibility guard in
         # apply_sharding_rules drops an axis that doesn't divide, e.g. tiny
         # KV counts on wide meshes).
         (r"\.kivi\.(main_len|res_len)$", P()),
-        (r"\.kivi\.", P(DATA_AXIS, None, m, None)),
+        (r"\.kivi\.", P(DATA_AXIS, m, None, None)),
     )
 
 

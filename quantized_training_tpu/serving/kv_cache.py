@@ -15,6 +15,14 @@ stored bit-packed in the token-planar layout (``pack_tokens_planar``) — 4x
 fewer HBM bytes for uint2 — and the fused decode kernel
 (ops/pallas/kivi_attention.py) unpacks planes in VMEM.  The generic
 ``pack_codes``/``unpack_codes`` remain as the export-format packing.
+
+Storage layout is head-major, (B, KV, T, D) — the reference's own
+(batch, heads, tokens, dim) order.  Per (batch, kv-head) the cache is a
+contiguous (T, D) tile: exactly what the fused decode kernel DMAs per grid
+step (Mosaic requires block slices to be full in the trailing two dims),
+with D on lanes and tokens on sublanes.  Model code still speaks
+(B, S, KV, D); the prefill/append/cache_kv wrappers transpose at the
+boundary (linear-size tensors, fused by XLA into adjacent reshapes).
 """
 
 from typing import NamedTuple, Optional, Tuple
@@ -78,32 +86,39 @@ class KVCacheConfig(NamedTuple):
 class QuantizedKVCache(NamedTuple):
     """Per-layer cache state (a pytree; stack layers with jax.tree_map)."""
 
-    k_codes: jax.Array       # (B, P, KV, D) int8 (or bf16 when unquantized)
+    k_codes: jax.Array       # (B, KV, P, D) int8 (or bf16 when unquantized)
     k_scale: jax.Array
     k_zp: jax.Array
     v_codes: jax.Array
     v_scale: jax.Array
     v_zp: jax.Array
-    k_res: jax.Array         # (B, R, KV, D) residual, full precision
+    k_res: jax.Array         # (B, KV, R, D) residual, full precision
     v_res: jax.Array
     main_len: jax.Array      # int32: valid tokens in the quantized cache
     res_len: jax.Array       # int32: valid tokens in the residual cache
 
 
-# Cache spec axes follow the reference's (B, heads, tokens, dim) layout
-# (llm_utils.py KIVI: K ax=-2 groups along tokens, V ax=-1 along features);
-# our cache arrays are (B, tokens, heads, dim), so axes 1<->2 swap.
-_REF_TO_OURS_AXIS = {0: 0, 1: 2, 2: 1, 3: 3}
-
-
+# Cache storage follows the reference's (batch, heads, tokens, dim) layout
+# (llm_utils.py KIVI: K ax=-2 groups along tokens, V ax=-1 along features),
+# so spec axes carry over directly — just normalized to positive indices.
 def _translate_spec_axes(spec: QuantizationSpec) -> QuantizationSpec:
     axes = spec.ch_axis if isinstance(spec.ch_axis, tuple) else (spec.ch_axis,)
-    ours = tuple(_REF_TO_OURS_AXIS[a + 4 if a < 0 else a] for a in axes)
+    ours = tuple(a + 4 if a < 0 else a for a in axes)
     return spec.replace(ch_axis=ours if len(ours) > 1 else ours[0])
 
 
+def _to_cache_layout(x: jax.Array) -> jax.Array:
+    """(B, S, KV, D) model layout -> (B, KV, S, D) cache layout."""
+    return jnp.swapaxes(x, 1, 2)
+
+
+def _to_model_layout(x: jax.Array) -> jax.Array:
+    """(B, KV, S, D) cache layout -> (B, S, KV, D) model layout."""
+    return jnp.swapaxes(x, 1, 2)
+
+
 def _qparam_shape(shape, spec: QuantizationSpec):
-    """Shape of group-affine scale/zp for a (B, T, KV, D) tensor (spec axes
+    """Shape of group-affine scale/zp for a (B, KV, T, D) tensor (spec axes
     already translated to our layout)."""
     axes = spec.ch_axis if isinstance(spec.ch_axis, tuple) else (spec.ch_axis,)
     out = list(shape)
@@ -141,13 +156,13 @@ def init_cache(
     dtype=jnp.bfloat16,
 ) -> QuantizedKVCache:
     P, R = cfg.max_prefill, cfg.max_decode
-    shape = (batch, P, kv_heads, head_dim)
+    shape = (batch, kv_heads, P, head_dim)
 
     def _codes_shape(spec):
         bits = cfg._pack_bits(spec)
         if bits is None:
             return shape, _code_dtype(spec)
-        return (batch, P * bits // 8, kv_heads, head_dim), jnp.uint8
+        return (batch, kv_heads, P * bits // 8, head_dim), jnp.uint8
 
     if cfg.k_spec is not None:
         k_shape, k_dt = _codes_shape(cfg.k_spec)
@@ -169,8 +184,8 @@ def init_cache(
         v_zp = jnp.zeros((1,), jnp.bfloat16)
     return QuantizedKVCache(
         k_codes, k_scale, k_zp, v_codes, v_scale, v_zp,
-        k_res=jnp.zeros((batch, R, kv_heads, head_dim), dtype),
-        v_res=jnp.zeros((batch, R, kv_heads, head_dim), dtype),
+        k_res=jnp.zeros((batch, kv_heads, R, head_dim), dtype),
+        v_res=jnp.zeros((batch, kv_heads, R, head_dim), dtype),
         main_len=jnp.zeros((), jnp.int32),
         res_len=jnp.zeros((), jnp.int32),
     )
@@ -194,15 +209,17 @@ def prefill_cache(
     B, S, KV, D = k.shape
     P = cfg.max_prefill
     assert S <= P, (S, P)
+    k = _to_cache_layout(k)                      # (B, KV, S, D)
+    v = _to_cache_layout(v)
     if S < P:
-        pad = [(0, 0), (0, P - S), (0, 0), (0, 0)]
+        pad = [(0, 0), (0, 0), (0, P - S), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
     if length is None:
         main_len = jnp.asarray(S, jnp.int32)
     else:
         main_len = jnp.asarray(length, jnp.int32)
-        pos = jnp.arange(P)[None, :, None, None]
+        pos = jnp.arange(P)[None, None, :, None]
         keep = pos < main_len
         k = jnp.where(keep, k, jnp.zeros((), k.dtype))
         v = jnp.where(keep, v, jnp.zeros((), v.dtype))
@@ -235,12 +252,13 @@ def append_to_cache(
 ) -> QuantizedKVCache:
     """Append decode-step K/V (B, 1, KV, D) to the full-precision residual."""
     idx = cache.res_len
+    n = k_new.shape[1]
     k_res = jax.lax.dynamic_update_slice(
-        cache.k_res, k_new, (0, idx, 0, 0))
+        cache.k_res, _to_cache_layout(k_new), (0, 0, idx, 0))
     v_res = jax.lax.dynamic_update_slice(
-        cache.v_res, v_new, (0, idx, 0, 0))
+        cache.v_res, _to_cache_layout(v_new), (0, 0, idx, 0))
     return cache._replace(
-        k_res=k_res, v_res=v_res, res_len=cache.res_len + k_new.shape[1]
+        k_res=k_res, v_res=v_res, res_len=cache.res_len + n
     )
 
 
@@ -270,9 +288,9 @@ def cache_kv(
             v_codes, cache.v_scale, cache.v_zp, cfg.v_spec, dtype)
     else:
         v_main = cache.v_codes.astype(dtype)
-    k = jnp.concatenate([k_main, cache.k_res.astype(dtype)], axis=1)
-    v = jnp.concatenate([v_main, cache.v_res.astype(dtype)], axis=1)
-    return k, v
+    k = jnp.concatenate([k_main, cache.k_res.astype(dtype)], axis=2)
+    v = jnp.concatenate([v_main, cache.v_res.astype(dtype)], axis=2)
+    return _to_model_layout(k), _to_model_layout(v)
 
 
 def residual_causal_mask(
@@ -300,8 +318,8 @@ def residual_causal_mask(
 # Token-planar packing: the serving cache layout
 # ---------------------------------------------------------------------------
 #
-# Codes (B, P, KV, D) pack along the *token* axis into (B, P//per, KV, D)
-# uint8 with per = 8//bits: byte[b, t', kv, d] holds the codes of tokens
+# Codes (…, P, D) pack along the *token* axis into (…, P//per, D) uint8 with
+# per = 8//bits: byte[…, t', d] holds the codes of tokens
 # t = s * (P//per) + t' in bit-field s (s = 0..per-1).  This "planar" order
 # keeps the last (lane) dimension at D=128 — full-width DMAs — and unpacking
 # plane s yields the contiguous token block [s*P//per, (s+1)*P//per) so a
@@ -311,27 +329,27 @@ def residual_causal_mask(
 
 
 def pack_tokens_planar(codes: jax.Array, bits: int) -> jax.Array:
-    """(…, P, KV, D) int codes -> (…, P//per, KV, D) uint8, token-planar."""
+    """(…, P, D) int codes -> (…, P//per, D) uint8, token-planar."""
     assert bits in (1, 2, 4)
     per = 8 // bits
-    *lead, P, KV, D = codes.shape
+    *lead, P, D = codes.shape
     assert P % per == 0, (P, per)
-    planes = codes.astype(jnp.uint8).reshape(*lead, per, P // per, KV, D)
+    planes = codes.astype(jnp.uint8).reshape(*lead, per, P // per, D)
     shifts = (jnp.arange(per, dtype=jnp.uint8) * bits).reshape(
-        (1,) * len(lead) + (per, 1, 1, 1))
+        (1,) * len(lead) + (per, 1, 1))
     mask = jnp.uint8((1 << bits) - 1)
-    return jnp.sum((planes & mask) << shifts, axis=-4).astype(jnp.uint8)
+    return jnp.sum((planes & mask) << shifts, axis=-3).astype(jnp.uint8)
 
 
 def unpack_tokens_planar(packed: jax.Array, bits: int) -> jax.Array:
-    """Inverse of pack_tokens_planar; returns uint8 codes (…, P, KV, D)."""
+    """Inverse of pack_tokens_planar; returns uint8 codes (…, P, D)."""
     per = 8 // bits
-    *lead, Pp, KV, D = packed.shape
+    *lead, Pp, D = packed.shape
     shifts = (jnp.arange(per, dtype=jnp.uint8) * bits).reshape(
-        (1,) * len(lead) + (per, 1, 1, 1))
+        (1,) * len(lead) + (per, 1, 1))
     mask = jnp.uint8((1 << bits) - 1)
-    planes = (packed[..., None, :, :, :] >> shifts) & mask
-    return planes.reshape(*lead, per * Pp, KV, D)
+    planes = (packed[..., None, :, :] >> shifts) & mask
+    return planes.reshape(*lead, per * Pp, D)
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +402,8 @@ def prefill_slot(
         # token-planar packing spans the full prefill extent; a partial
         # prefill would interleave planes wrongly.
         assert k.shape[1] == cfg.max_prefill, (k.shape, cfg.max_prefill)
+    k = _to_cache_layout(k)                      # (1, KV, P, D)
+    v = _to_cache_layout(v)
     if cfg.k_spec is not None:
         k_codes, k_scale, k_zp = _quantize_groupwise(k, cfg.k_spec)
         bits = cfg._pack_bits(cfg.k_spec)
@@ -405,7 +425,7 @@ def prefill_slot(
         start = (slot,) + (0,) * (buf.ndim - 1)
         return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), start)
 
-    S = k.shape[1]
+    S = k.shape[2]
     return cache._replace(
         k_codes=put(cache.k_codes, k_codes),
         k_scale=put(cache.k_scale, k_scale),
@@ -428,11 +448,14 @@ def append_per_slot(
     k_new/v_new: (B, 1, KV, D); res_len: (B,).
     """
     def put_row(buf_row, new_row, idx):
+        # buf_row (KV, R, D); new_row (KV, 1, D)
         return jax.lax.dynamic_update_slice(
-            buf_row, new_row, (idx, 0, 0))
+            buf_row, new_row, (0, idx, 0))
 
-    k_res = jax.vmap(put_row)(cache.k_res, k_new, cache.res_len)
-    v_res = jax.vmap(put_row)(cache.v_res, v_new, cache.res_len)
+    k_res = jax.vmap(put_row)(
+        cache.k_res, _to_cache_layout(k_new), cache.res_len)
+    v_res = jax.vmap(put_row)(
+        cache.v_res, _to_cache_layout(v_new), cache.res_len)
     return cache._replace(
         k_res=k_res, v_res=v_res, res_len=cache.res_len + 1)
 

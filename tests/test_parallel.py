@@ -136,7 +136,8 @@ class TestShardedKiviCache:
             sh.spec for path, sh in jax.tree_util.tree_leaves_with_path(sh2)
             if str(getattr(path[-1], "name", "")) == "k_codes"
         ][0]
-        assert k_codes_spec[2] == MODEL_AXIS
+        # head-major layout: kv-heads are axis 1
+        assert k_codes_spec[1] == MODEL_AXIS
 
     @pytest.mark.parametrize("pack", [False, True])
     def test_tp_decode_matches_single_device(self, pack):

@@ -38,10 +38,11 @@ class TestKVCache:
         cache = append_to_cache(cache, k1, k1 * 2)
         cache = append_to_cache(cache, k1 * 3, k1 * 4)
         assert int(cache.res_len) == 2
+        # head-major residual layout: (B, KV, R, D)
         np.testing.assert_array_equal(
-            np.asarray(cache.k_res[:, 0].astype(jnp.float32)), 1.0)
+            np.asarray(cache.k_res[:, :, 0].astype(jnp.float32)), 1.0)
         np.testing.assert_array_equal(
-            np.asarray(cache.k_res[:, 1].astype(jnp.float32)), 3.0)
+            np.asarray(cache.k_res[:, :, 1].astype(jnp.float32)), 3.0)
         # residual tokens come back exactly (full precision)
         k_full, v_full = cache_kv(cache, cfg)
         np.testing.assert_array_equal(
@@ -91,10 +92,11 @@ class TestPlanarPacking:
             pack_tokens_planar, unpack_tokens_planar,
         )
         rng = np.random.default_rng(5)
+        # head-major layout: token axis is -2, lanes (D) last
         codes = jnp.asarray(
-            rng.integers(0, 2 ** bits, (2, 16, 3, 8)), jnp.uint8)
+            rng.integers(0, 2 ** bits, (2, 3, 16, 8)), jnp.uint8)
         packed = pack_tokens_planar(codes, bits)
-        assert packed.shape == (2, 16 * bits // 8, 3, 8)
+        assert packed.shape == (2, 3, 16 * bits // 8, 8)
         out = unpack_tokens_planar(packed, bits)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
 
@@ -108,7 +110,7 @@ class TestPlanarPacking:
         cfg_p = KVCacheConfig.kivi(max_prefill=32, max_decode=8, pack=True)
         cu = prefill_cache(init_cache(cfg_u, B, KV, D), cfg_u, k, v)
         cp = prefill_cache(init_cache(cfg_p, B, KV, D), cfg_p, k, v)
-        assert cp.k_codes.shape[1] == 32 // 4  # uint2: 4 codes/byte
+        assert cp.k_codes.shape[2] == 32 // 4  # uint2: 4 codes/byte
         ku, vu = cache_kv(cu, cfg_u)
         kp, vp = cache_kv(cp, cfg_p)
         np.testing.assert_array_equal(np.asarray(ku.astype(jnp.float32)),
