@@ -238,6 +238,13 @@ def main():
                         help="comma list of dtype rungs "
                              f"({','.join(DTYPE_MATRIX)})")
     parser.add_argument("--output_csv", default="ladder_sweep.csv")
+    parser.add_argument("--launch", choices=["inline", "local", "render"],
+                        default="inline",
+                        help="how to execute --run_job commands: inline "
+                             "(subprocess.run, default), local (LocalLauncher "
+                             "queue with per-job logs), render (write shell "
+                             "scripts only — the write_slurm_script analogue)")
+    parser.add_argument("--log_dir", default="logs")
     args = parser.parse_args()
 
     if args.sweep:
@@ -247,12 +254,33 @@ def main():
         parser.error("--task is required (or use --sweep)")
 
     commands = build_commands(args)
+    selected = {
+        name: cmd for name, cmd in commands.items()
+        if args.run_job == "all" or name in args.run_job.split(",")
+    }
     for name, cmd in commands.items():
-        if args.run_job == "all" or name in args.run_job.split(","):
+        if name not in selected:
+            print(f"[{name}]", " ".join(cmd))
+
+    if not selected:
+        return
+    if args.launch == "inline":
+        for name, cmd in selected.items():
             print("Running:", " ".join(cmd), "\n", flush=True)
             subprocess.run(cmd, check=True, cwd=REPO)
+    else:
+        from quantized_training_tpu.utils.launcher import (
+            Job, LocalLauncher, render_tpu_script,
+        )
+        jobs = [Job(f"{args.model}_{args.task}_{name}", cmd, cwd=REPO)
+                for name, cmd in selected.items()]
+        if args.launch == "render":
+            for job in jobs:
+                print("rendered:", render_tpu_script(job, args.log_dir))
         else:
-            print(f"[{name}]", " ".join(cmd))
+            for r in LocalLauncher(args.log_dir).run(jobs):
+                print(f"{r.name}: rc={r.returncode} "
+                      f"({r.seconds:.1f}s) log={r.log_path}")
 
 
 if __name__ == "__main__":

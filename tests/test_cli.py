@@ -50,3 +50,36 @@ def test_op_fusion_and_lora():
     assert cfg.op_fusion == ("lm_head", "embed")
     assert cfg.resolve("model.lm_head", "linear") is None  # fused out
     assert cfg.lora_rank == 8
+
+
+class TestLauncher:
+    """Thin job launcher (reference utils.py:22-67 slurm analogue)."""
+
+    def test_local_launcher_runs_jobs_and_logs(self, tmp_path):
+        import sys
+        from quantized_training_tpu.utils.launcher import Job, LocalLauncher
+
+        jobs = [
+            Job("ok", [sys.executable, "-c", "print('hello-0')"]),
+            Job("fail", [sys.executable, "-c", "import sys; sys.exit(3)"]),
+            Job("envjob", [sys.executable, "-c",
+                           "import os; print(os.environ['QT_TEST_VAR'])"],
+                env={"QT_TEST_VAR": "42"}),
+        ]
+        res = LocalLauncher(log_dir=str(tmp_path), max_parallel=2).run(jobs)
+        assert [r.name for r in res] == ["ok", "fail", "envjob"]
+        assert [r.returncode for r in res] == [0, 3, 0]
+        assert "hello-0" in open(res[0].log_path).read()
+        assert "42" in open(res[2].log_path).read()
+
+    def test_render_tpu_script(self, tmp_path):
+        from quantized_training_tpu.utils.launcher import Job, render_tpu_script
+
+        p = render_tpu_script(
+            Job("j1", ["python", "train.py", "--lr", "1e-3"],
+                env={"X": "a b"}),
+            log_dir=str(tmp_path), setup="source /env/setup.sh")
+        body = open(p).read()
+        assert "python train.py --lr 1e-3" in body
+        assert "export X='a b'" in body
+        assert "source /env/setup.sh" in body

@@ -83,3 +83,41 @@ class TestRoutingFlag:
         ref = quantize_fn("posit8_1")(materialize_rounding(x))
         np.testing.assert_array_equal(
             np.asarray(ref, np.float32), np.asarray(y, np.float32))
+
+
+class TestDitherRounding:
+    """`dither` stochastic rounding (reference fp8.py:117-118:
+    mantissa = floor(|a| + U[0,1)))."""
+
+    def test_unbiased_and_bracketing(self):
+        from quantized_training_tpu.numerics import quantize_elemwise
+
+        x = jnp.full((4096,), 1.3, jnp.float32)  # between fp8 e4m3 codes
+        key = jax.random.PRNGKey(0)
+        y = quantize_elemwise(x, bits=5, exp_bits=4, max_norm=448.0,
+                              round_mode="dither", key=key)
+        vals = np.unique(np.asarray(y, np.float32))
+        # every output is one of the two bracketing codes (1.25, 1.375)
+        assert set(vals) <= {1.25, 1.375}, vals
+        assert len(vals) == 2  # genuinely stochastic
+        # unbiased: E[y] == x (1.3 sits at p=0.4 between the codes)
+        assert abs(float(np.asarray(y, np.float32).mean()) - 1.3) < 0.01
+
+    def test_deterministic_given_key(self):
+        from quantized_training_tpu.numerics import quantize_elemwise
+
+        x = jnp.asarray(np.random.default_rng(1).normal(size=256), jnp.float32)
+        k1, k2 = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+        kw = dict(bits=5, exp_bits=4, max_norm=448.0, round_mode="dither")
+        y1 = quantize_elemwise(x, key=k1, **kw)
+        y1b = quantize_elemwise(x, key=k1, **kw)
+        y2 = quantize_elemwise(x, key=k2, **kw)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y1b))
+        assert np.any(np.asarray(y1) != np.asarray(y2))
+
+    def test_missing_key_raises(self):
+        from quantized_training_tpu.numerics import quantize_elemwise
+
+        with pytest.raises(ValueError, match="dither"):
+            quantize_elemwise(jnp.ones((8,)), bits=5, exp_bits=4,
+                              max_norm=448.0, round_mode="dither")
