@@ -133,7 +133,7 @@ def _kernel(
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
-def kivi_decode_attention(
+def _decode_attention_local(
     q: jax.Array,
     k_codes: jax.Array, k_scale: jax.Array, k_zp: jax.Array,
     v_codes: jax.Array, v_scale: jax.Array, v_zp: jax.Array,
@@ -145,14 +145,9 @@ def kivi_decode_attention(
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """One decode step of attention over the two-tier quantized cache.
-
-    q: (B, H, D).  k/v_codes: (B, KV, P*, D) with P* = P (unpacked int8) or
-    P*bits/8 (token-planar packed uint8).  k_scale/k_zp: (B, KV, P/bsK, D);
-    v_scale/v_zp: (B, KV, P, D/bsV).  k_res/v_res: (B, KV, R, D) bf16.
-    main_len/res_len: (B,) int32 — post-append visibility counts.
-    Returns (B, H, D) in q.dtype.
-    """
+    """Single-device kernel body of :func:`kivi_decode_attention` (the public
+    entry adds the SPMD partitioning rule; shard_map callers use this
+    directly)."""
     B, H, D = q.shape
     _, KV, Pc, _ = k_codes.shape
     P = Pc * (8 // bits_k) if bits_k else Pc
@@ -218,6 +213,126 @@ def kivi_decode_attention(
     return out.reshape(B, H, D)
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning: the pallas_call is an opaque custom-call to GSPMD, so
+# without a rule the partitioner all-gathers the (batch-sharded) cache onto
+# every device before each decode step.  The grid is (B, KV) with fully
+# independent steps, so the op partitions perfectly: batch over the data
+# axis, kv-heads (and q heads with them) over the model axis, each shard
+# running the unmodified kernel on its local block.  custom_partitioning
+# teaches the partitioner exactly that — the distributed engine's
+# zero-collective decode step depends on it.
+# ---------------------------------------------------------------------------
+
+# einsum-like shardy rule: shared factors b (batch), k (kv-heads), d (head
+# features); every other dim is private.  q's head dim h is constrained to
+# k's sharding in the partition callback (heads must split with their kv
+# group), not by the rule.
+_SDY_RULE = (
+    "b h d, b k tk d, b k gk d, b k gk d, b k tv d, b k tf gv, b k tf gv, "
+    "b k r d, b k r d, b, b -> b h d"
+)
+
+
+def _axis_size(mesh, ax) -> int:
+    if ax is None:
+        return 1
+    if isinstance(ax, (tuple, list)):
+        n = 1
+        for a in ax:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[ax]
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_decode(bits_k, bits_v, scale, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kwargs = dict(bits_k=bits_k, bits_v=bits_v, scale=scale,
+                  interpret=interpret)
+
+    def fn(q, kc, ks, kz, vc, vs, vz, kr, vr, ml, rl):
+        return _decode_attention_local(q, kc, ks, kz, vc, vs, vz, kr, vr,
+                                       ml, rl, **kwargs)
+
+    def _canonical_specs(mesh, q_shape):
+        """(q, cache, lengths, out) specs from q's suggested sharding: batch
+        axis kept if it divides B, head axis kept if it divides KV (heads
+        must split along whole kv groups; otherwise replicate heads)."""
+        spec = getattr(q_shape.sharding, "spec", P())
+        B, H, _ = q_shape.shape
+        b_ax = spec[0] if len(spec) > 0 else None
+        m_ax = spec[1] if len(spec) > 1 else None
+        if b_ax is not None and B % _axis_size(mesh, b_ax):
+            b_ax = None
+        return b_ax, m_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, m_ax = _canonical_specs(mesh, arg_shapes[0])
+        KV = arg_shapes[1].shape[1]
+        if m_ax is not None and KV % _axis_size(mesh, m_ax):
+            m_ax = None
+        qspec = NamedSharding(mesh, P(b_ax, m_ax, None))
+        cspec = NamedSharding(mesh, P(b_ax, m_ax, None, None))
+        lspec = NamedSharding(mesh, P(b_ax))
+        arg_shardings = (qspec,) + (cspec,) * 8 + (lspec, lspec)
+        return mesh, fn, qspec, arg_shardings
+
+    def infer_sharding_from_operands(mesh, arg_shapes, shape):
+        b_ax, m_ax = _canonical_specs(mesh, arg_shapes[0])
+        return NamedSharding(mesh, P(b_ax, m_ax, None))
+
+    wrapped = custom_partitioning(fn)
+    wrapped.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=_SDY_RULE,
+        # only batch / kv-heads / q-heads may shard; everything else (tokens,
+        # scale groups, head features) must stay whole per device — without
+        # this shardy can propose splitting one mesh axis across several
+        # cache dims, which has no NamedSharding form
+        need_replication_factors=("d", "tk", "gk", "tv", "tf", "gv", "r"),
+    )
+    return wrapped
+
+
+def kivi_decode_attention(
+    q: jax.Array,
+    k_codes: jax.Array, k_scale: jax.Array, k_zp: jax.Array,
+    v_codes: jax.Array, v_scale: jax.Array, v_zp: jax.Array,
+    k_res: jax.Array, v_res: jax.Array,
+    main_len: jax.Array, res_len: jax.Array,
+    *,
+    bits_k: Optional[int] = None,
+    bits_v: Optional[int] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """One decode step of attention over the two-tier quantized cache.
+
+    q: (B, H, D).  k/v_codes: (B, KV, P*, D) with P* = P (unpacked int8) or
+    P*bits/8 (token-planar packed uint8).  k_scale/k_zp: (B, KV, P/bsK, D);
+    v_scale/v_zp: (B, KV, P, D/bsV).  k_res/v_res: (B, KV, R, D) bf16.
+    main_len/res_len: (B,) int32 — post-append visibility counts.
+    Returns (B, H, D) in q.dtype.
+
+    SPMD-partitionable: under pjit on a mesh the op splits over batch and
+    kv-heads with zero collectives (see ``_partitioned_decode``).
+    """
+    B, H, D = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if interpret is None:
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        interpret = platform != "tpu"
+    return _partitioned_decode(bits_k, bits_v, float(scale), bool(interpret))(
+        q, k_codes, k_scale, k_zp, v_codes, v_scale, v_zp,
+        k_res, v_res, main_len, res_len)
+
+
 def kivi_decode_attention_sharded(
     mesh, q, k_codes, k_scale, k_zp, v_codes, v_scale, v_zp,
     k_res, v_res, main_len, res_len, *,
@@ -237,7 +352,7 @@ def kivi_decode_attention_sharded(
     q_spec = P(d, m, None)
     cache_spec = P(d, m, None, None)
     len_spec = P(d)
-    fn = functools.partial(kivi_decode_attention, **kwargs)
+    fn = functools.partial(_decode_attention_local, **kwargs)
     return shard_map(
         fn, mesh=mesh,
         in_specs=(q_spec,) + (cache_spec,) * 8 + (len_spec, len_spec),

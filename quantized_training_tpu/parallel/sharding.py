@@ -64,7 +64,9 @@ def shard_rules_llama() -> Rules:
         # batch over data and kv-heads over model (the divisibility guard in
         # apply_sharding_rules drops an axis that doesn't divide, e.g. tiny
         # KV counts on wide meshes).
-        (r"\.kivi\.(main_len|res_len)$", P()),
+        # per-slot (B,) lengths shard with their slots; scalar lengths
+        # (generate mode) have no dims and fall back to replicated
+        (r"\.kivi\.(main_len|res_len)$", P(DATA_AXIS)),
         (r"\.kivi\.", P(DATA_AXIS, m, None, None)),
     )
 

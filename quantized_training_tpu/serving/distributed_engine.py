@@ -1,0 +1,215 @@
+"""Multi-host / multi-chip continuous batching over the sharded KIVI cache.
+
+North-star capability (BASELINE.json: "continuous batching across hosts,
+>=85% scaling"; no reference counterpart — the reference's only distribution
+is sequential layer offload, reference pt2e_utils.py:62-156).
+
+Design — SPMD, not RPC:
+
+* One global ``(data, model)`` mesh spans every chip of every host.  Batch
+  slots shard over ``data``; weights and the quantized KV cache (kv-heads)
+  shard over ``model`` using the same rule engine as training
+  (parallel/sharding.py) — the cache rules match the QuantizedKVCache leaves
+  in their head-major (B, KV, T, D) layout.
+* The decode step is ONE jitted SPMD program.  Slots never interact: on a
+  pure data mesh the compiled step contains **zero collectives** (asserted by
+  :func:`decode_collective_report` and the test suite), so adding hosts adds
+  throughput at the dispatch-overhead bound — the >=85%-scaling claim is a
+  compile-time property, not a tuning hope.  Tensor-parallel meshes add
+  exactly the Megatron psums on the ``model`` axis, which rides ICI, never
+  DCN: DCN carries nothing per decode step.
+* Hosts run in lockstep (single-controller SPMD): every process must submit
+  the same requests in the same order.  :meth:`DistributedEngine.submit`
+  records locally; :meth:`sync_queue` broadcasts process 0's queue to all
+  processes (jax.experimental.multihost_utils) so a front-end only has to
+  feed one host.  With one process it is the identity.
+
+The scheduling logic (slot fill, budgets, EOS) is inherited unchanged from
+the single-host engine — only array placement changes.
+"""
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+from ..parallel.sharding import (
+    Rules, apply_sharding_rules, shard_pytree, shard_rules_llama,
+)
+from .engine import ContinuousBatchingEngine
+from .generate import fast_argmax
+
+__all__ = ["DistributedEngine", "decode_collective_report"]
+
+_COLLECTIVES = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
+)
+
+
+class DistributedEngine(ContinuousBatchingEngine):
+    """Continuous batching engine whose cache/tokens/params live sharded on a
+    mesh.  ``batch_slots`` must be a multiple of the data-axis size (each
+    data shard owns ``batch_slots / data`` slots)."""
+
+    def __init__(self, model, variables, mesh: Mesh, *,
+                 batch_slots: int = 8, eos_token_id: Optional[int] = None,
+                 rules: Optional[Rules] = None):
+        self.mesh = mesh
+        self.rules = tuple(rules) if rules is not None else shard_rules_llama()
+        data = mesh.shape.get(DATA_AXIS, 1)
+        assert batch_slots % data == 0, (batch_slots, data)
+        variables = {
+            k: shard_pytree(v, mesh, self.rules) for k, v in variables.items()
+            if k != "cache"
+        }
+        super().__init__(model, variables, batch_slots=batch_slots,
+                         eos_token_id=eos_token_id)
+        self._tok_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+        self.tokens = jax.device_put(self.tokens, self._tok_sharding)
+        self._cache_shardings = None
+        self._merge = None
+
+    # ------------------------------------------------------------- multihost
+    def sync_queue(self) -> None:
+        """Broadcast process 0's pending queue to every process so all hosts
+        dispatch identical SPMD programs.  Identity with one process."""
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        # Serialize the queue to fixed-shape arrays (id, budget, len, tokens).
+        MAXP = self.kcfg.max_prefill
+        n = len(self.queue) if jax.process_index() == 0 else 0
+        n = int(multihost_utils.broadcast_one_to_all(np.int32(n)))
+        flat = np.zeros((n, MAXP + 3), np.int32)
+        if jax.process_index() == 0:
+            for i, (rid, ids, budget) in enumerate(self.queue[:n]):
+                ids = np.asarray(ids).reshape(-1)[-MAXP:]
+                flat[i, 0], flat[i, 1], flat[i, 2] = rid, budget, len(ids)
+                flat[i, 3:3 + len(ids)] = ids
+        flat = np.asarray(multihost_utils.broadcast_one_to_all(flat))
+        self.queue = [
+            (int(r[0]), r[3:3 + int(r[2])].copy(), int(r[1])) for r in flat
+        ]
+        self._next_id = max([q[0] for q in self.queue], default=-1) + 1
+
+    def run(self) -> Dict[int, List[int]]:
+        self.sync_queue()
+        return super().run()
+
+    # ------------------------------------------------------------- placement
+    def _init_cache(self):
+        super()._init_cache()
+        self._cache_shardings = apply_sharding_rules(
+            self.cache, self.mesh, self.rules)
+        self.cache = jax.tree_util.tree_map(
+            jax.device_put, self.cache, self._cache_shardings)
+
+    def _prefill_slot(self, b: int, ids: np.ndarray):
+        if self.cache is None:
+            self._init_cache()
+        P_ = self.kcfg.max_prefill
+        ids = ids[-P_:]
+        S = len(ids)
+        padded = np.zeros((1, P_), np.int32)
+        padded[0, :S] = ids
+        logits, upd = self._prefill_fn()(
+            self.variables, jnp.asarray(padded), jnp.asarray(S, jnp.int32))
+        # jitted merge pinned to the cache shardings, so the big cache never
+        # migrates off its placement (slot index is a static arg: B distinct
+        # tiny programs, compiled once each)
+        if self._merge is None:
+            @partial(jax.jit, static_argnums=2,
+                     out_shardings=(self._cache_shardings,
+                                    self._tok_sharding))
+            def merge(cache, small, b, tokens, tok):
+                def one(big, small_leaf):
+                    if big.ndim == 1 and small_leaf.ndim == 0:
+                        return big.at[b].set(small_leaf.astype(big.dtype))
+                    start = (b,) + (0,) * (big.ndim - 1)
+                    return jax.lax.dynamic_update_slice(
+                        big, small_leaf.astype(big.dtype), start)
+
+                cache = jax.tree_util.tree_map(one, cache, small)
+                return cache, tokens.at[b, 0].set(tok)
+
+            self._merge = merge
+        next_tok = fast_argmax(logits[0, S - 1][None])[0].astype(jnp.int32)
+        self.cache, self.tokens = self._merge(
+            self.cache, upd["cache"], b, self.tokens, next_tok)
+        self.slots[b].generated = [int(jax.device_get(next_tok))]
+
+    def step(self):
+        if self.cache is None:
+            return
+        main_len, res_len = self._lengths()
+        self.cache, nxt = self._decode_fn()(
+            self.variables, self.cache, self.tokens, main_len, res_len)
+        # Host-side scheduling needs every slot's token on every process; the
+        # sampled ids are data-sharded, so gather across processes first.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            nxt_host = np.asarray(
+                multihost_utils.process_allgather(nxt, tiled=True))
+        else:
+            nxt_host = np.asarray(nxt)
+        self.tokens = jax.device_put(nxt[:, None], self._tok_sharding)
+        for b, slot in enumerate(self.slots):
+            if slot.request_id is None:
+                continue
+            tok = int(nxt_host[b])
+            slot.generated.append(tok)
+            done = (self.eos is not None and tok == self.eos) or \
+                len(slot.generated) >= slot.budget or \
+                len(slot.generated) >= self.kcfg.max_decode
+            if done:
+                self.finished[slot.request_id] = slot.generated
+                slot.request_id = None
+
+    def _decode_fn(self):
+        if self._decode is not None:
+            return self._decode
+        model = self.model
+        assert self._cache_shardings is not None
+
+        @partial(jax.jit, out_shardings=(self._cache_shardings,
+                                         NamedSharding(self.mesh,
+                                                       P(DATA_AXIS))))
+        def decode(variables, cache, tokens, main_len, res_len):
+            positions = (main_len + res_len)[:, None]
+            logits, upd = model.apply(
+                {**variables, "cache": cache}, tokens,
+                positions=positions, use_cache=True, mutable=["cache"])
+            nxt = fast_argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return upd["cache"], nxt
+
+        self._decode = decode
+        return decode
+
+
+def decode_collective_report(engine: DistributedEngine) -> Dict[str, int]:
+    """Compile the engine's decode step and count cross-device collectives in
+    the optimized HLO.  On a pure data mesh the count must be zero — the
+    compile-time proof that slot throughput scales linearly with hosts (the
+    only per-step cross-host traffic would be these ops)."""
+    if engine.cache is None:
+        engine._init_cache()
+    main_len, res_len = engine._lengths()
+    lowered = engine._decode_fn().lower(
+        engine.variables, engine.cache, engine.tokens, main_len, res_len)
+    text = lowered.compile().as_text()
+    report = {}
+    for op in _COLLECTIVES:
+        n = sum(
+            1 for line in text.splitlines()
+            if f" {op}(" in line or f" {op}-start(" in line
+        )
+        if n:
+            report[op] = n
+    return report

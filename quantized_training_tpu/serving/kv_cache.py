@@ -446,18 +446,26 @@ def append_per_slot(
     """Append one decode token per slot at each slot's own residual index.
 
     k_new/v_new: (B, 1, KV, D); res_len: (B,).
-    """
-    def put_row(buf_row, new_row, idx):
-        # buf_row (KV, R, D); new_row (KV, 1, D)
-        return jax.lax.dynamic_update_slice(
-            buf_row, new_row, (0, idx, 0))
 
-    k_res = jax.vmap(put_row)(
-        cache.k_res, _to_cache_layout(k_new), cache.res_len)
-    v_res = jax.vmap(put_row)(
-        cache.v_res, _to_cache_layout(v_new), cache.res_len)
+    Implemented as a one-hot masked write over the (small) residual extent
+    rather than a vmapped dynamic_update_slice: per-batch dynamic indices
+    lower to a serial while-loop whose body forces batch all-gathers under
+    GSPMD — the masked write is elementwise, so it stays batch-parallel and
+    batch-sharded (the distributed engine's zero-collective decode step
+    depends on this).
+    """
+    R = cache.k_res.shape[2]
+    # (B, 1, R, 1): slot r == res_len[b]
+    hit = (jnp.arange(R)[None, None, :, None]
+           == cache.res_len[:, None, None, None])
+
+    def put(buf, new):
+        new = _to_cache_layout(new).astype(buf.dtype)   # (B, KV, 1, D)
+        return jnp.where(hit, new, buf)
+
     return cache._replace(
-        k_res=k_res, v_res=v_res, res_len=cache.res_len + 1)
+        k_res=put(cache.k_res, k_new), v_res=put(cache.v_res, v_new),
+        res_len=cache.res_len + 1)
 
 
 def per_slot_mask(
