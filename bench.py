@@ -52,7 +52,7 @@ def prequantize_weights(variables, qconfig):
             "params": fold_quantized_weights(variables["params"], qconfig)}
 
 
-def measure(model, variables, ids, iters=4, repeats=3):
+def measure(model, variables, ids, iters=8, repeats=5):
     """Tokens/s with the iteration loop *on device* (lax.fori_loop inside one
     jit) and a scalar fetch: remote backends have large per-dispatch latency
     and lazy block_until_ready, so host-side loops measure RPC, not compute.

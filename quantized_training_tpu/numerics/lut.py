@@ -205,5 +205,11 @@ def quantize_fn_unit(dtype: Optional[str]) -> Callable[[jax.Array], jax.Array]:
         return lambda x: x
     if (m := re.fullmatch(r"posit(\d+)_(\d+)", dtype)):
         nbits, es = int(m.group(1)), int(m.group(2))
-        return partial(quantize_to_posit_unit, nbits=nbits, es=es)
+        # multiplication-form kernel: ~2x fewer VPU op-equivalents than the
+        # bit-integer unit kernel (bit-identical; see posit.py).  Building it
+        # probes the exact kernel host-side once per (nbits, es) — do that
+        # now, outside any Pallas trace.
+        from .posit import _unit_mul_chain, quantize_to_posit_unit_mul
+        _unit_mul_chain(nbits, es)
+        return partial(quantize_to_posit_unit_mul, nbits=nbits, es=es)
     return quantize_fn_positive(dtype)

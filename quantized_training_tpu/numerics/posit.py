@@ -11,6 +11,7 @@ Everything is pure jnp bit arithmetic: jit-able, vectorizable on the TPU VPU,
 and usable inside Pallas kernels.
 """
 
+import functools
 import math
 from functools import partial
 
@@ -29,7 +30,8 @@ from .bitutils import (
 )
 
 __all__ = ["quantize_to_posit", "quantize_to_posit_positive",
-           "quantize_to_posit_unit", "quantize_to_posit_fast",
+           "quantize_to_posit_unit", "quantize_to_posit_unit_mul",
+           "quantize_to_posit_fast",
            "decode_posit", "encode_posit", "posit_max_value"]
 
 
@@ -233,6 +235,127 @@ def quantize_to_posit_unit(
         2.0, math.floor(-(nbits - 1) * (1 << es) + 2 ** (es - 1)))
     out = jnp.where(xf0 < threshold, 0.0, out)
     return out.astype(x.dtype)
+
+
+def _unit_probe(x, nbits, es):
+    """Pure-numpy port of :func:`quantize_to_posit_unit` (host-side oracle
+    for the chain builder — must not touch jax: the builder runs lazily,
+    possibly inside an outer jit trace)."""
+    import numpy as np
+
+    max_scale = (nbits - 2) * (1 << es)
+    minpos = np.float32(2.0 ** -max_scale)
+    xf0 = np.asarray(x, np.float32).ravel()
+    bits = np.maximum(xf0, minpos).view(np.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    raw = -(e >> es) + es + 25 - nbits
+    s2 = np.clip(raw, 0, 23 + es)
+    q = np.int32(1) << s2
+    q_mask = q - 1
+    r = np.int32(127 << 23) & q_mask
+    lsb = np.where(raw >= 23 + es, np.int32(1),
+                   (((bits - (127 << 23)) & q) != 0).astype(np.int32))
+    rounded = ((bits - r) + (q >> 1) - 1 + lsb) & ~q_mask
+    out = (rounded + r).view(np.float32)
+    threshold = math.pow(
+        2.0, math.floor(-(nbits - 1) * (1 << es) + 2 ** (es - 1)))
+    return np.where(xf0 < np.float32(threshold), np.float32(0.0), out)
+
+
+@functools.lru_cache(maxsize=None)
+def _unit_mul_chain(nbits: int, es: int):
+    """(e_start, [(cut, value), ...]) for :func:`quantize_to_posit_unit_mul`.
+
+    The mul identity (posit RNE == integer RNE of t = x * 2^(f-e)) holds for
+    every binade keeping f >= 1 fraction bits: the kept-lsb is a fraction bit,
+    whose parity equals t's.  Below 2^e_start (f <= 0: partial/absent
+    exponent fields, pure regime) the posits are a handful of exact powers of
+    two; this builder probes the bit-exact kernel to enumerate them and
+    bisects each pair's rounding boundary on the f32 grid, so the select
+    chain replicates the exact kernel's boundary AND tie semantics without
+    re-deriving them.  Host-side, cached once per (nbits, es).
+    """
+    import numpy as np
+
+    f0 = nbits - 2 - es
+    e_start = (1 - f0) * (1 << es)        # smallest e with f(e) >= 1
+    hi = math.ldexp(1.0, e_start)
+
+    # distinct kernel outputs below hi (probe 64 points per binade)
+    probes = []
+    e = e_start
+    while math.ldexp(1.0, e) > 1e-45 and e > -130:
+        for i in range(64):
+            probes.append(math.ldexp(1.0 + i / 64.0, e - 1))
+        e -= 1
+    out = _unit_probe(np.float32(probes), nbits, es)
+    vals = sorted({float(v) for v in out if v < hi})
+    if not vals or vals[0] != 0.0:
+        vals = [0.0] + vals
+
+    # bisect each (v1, v2) boundary on the f32 bit grid
+    def bits(v):
+        return int(np.float32(v).view(np.uint32))
+
+    def val(b):
+        return float(np.uint32(b).view(np.float32))
+
+    chain = []
+    uppers = vals[1:] + [hi]
+    for v1, v2 in zip(vals, uppers):
+        lo_b, hi_b = bits(v1), bits(v2)
+        while hi_b - lo_b > 1:
+            mid = (lo_b + hi_b) // 2
+            r = float(_unit_probe(np.float32(val(mid)), nbits, es)[0])
+            if r <= v1:
+                lo_b = mid
+            else:
+                hi_b = mid
+        # x < val(hi_b)  =>  rounds to v1
+        chain.append((val(hi_b), v1))
+    return e_start, tuple(chain)
+
+
+def quantize_to_posit_unit_mul(
+    x: jax.Array, nbits: int = 8, es: int = 1
+) -> jax.Array:
+    """Multiplication-form posit rounding for inputs in [0, 1] — the fastest
+    unit-interval kernel (~20 VPU op-equivalents vs ~38 for the bit-integer
+    form; no variable-amount shifts).
+
+    Key identity: in every binade keeping f >= 1 fraction bits
+    (f(e) = (nbits-2-es) + (e >> es)), posit(nbits, es) values are exactly
+    the integer multiples of 2^(e-f), and posit round-to-nearest-even equals
+    float RNE of t = x * 2^(f-e) to an integer (the kept-lsb is a fraction
+    bit, so the tie parities coincide).  2^(f-e) and 2^(e-f) are assembled by
+    constant shifts into the exponent field; the integer RNE is one f32 add
+    with the 1.5 * 2^23 magic constant (hardware rounding).  The few exact
+    power-of-two posits below 2^e_start are an unrolled select chain with
+    boundaries bisected from the bit-exact kernel (see _unit_mul_chain).
+
+    Bit-identical to :func:`quantize_to_posit` on every bf16 in [0, 1] and to
+    :func:`quantize_to_posit_unit` on f32 probes (tested).  Contract: finite
+    inputs in [0, 1] only.
+    """
+    e_start, chain = _unit_mul_chain(nbits, es)
+    f0 = nbits - 2 - es
+
+    xf0 = x.astype(jnp.float32)
+    # No input clamp: lanes below 2^e_start produce harmless finite garbage
+    # in the mul path (x == 0 exactly gives 0) and are overridden by the
+    # select chain, which owns everything below 2^e_start.
+    b = f32_bits(xf0)
+    e = (b >> 23) - 127                   # field extract; x in [0, 1]
+    d127 = (f0 + 127) + (e >> es) - e     # (f - e) + 127
+    b1 = d127 << 23                       # bits of 2^(f-e)
+    t = xf0 * bits_f32(b1)                # x * 2^(f-e), exact
+    magic = jnp.float32(1.5 * 2.0 ** 23)
+    u = (t + magic) - magic               # hardware RNE to integer
+    y = u * bits_f32((254 << 23) - b1)    # * 2^(e-f), exact (mirror exponent)
+
+    for cut, v in reversed(chain):
+        y = jnp.where(xf0 < jnp.float32(cut), jnp.float32(v), y)
+    return y.astype(x.dtype)
 
 
 def quantize_to_posit_fast(

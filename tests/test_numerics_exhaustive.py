@@ -259,3 +259,52 @@ def test_fp8_golden_values():
     y = np.asarray(quantize_to_fp8_e4m3(x).astype(jnp.float32))
     expected = np.array([448.0, 448.0, 1.0, 0.0625, 2.0 ** -9, 0.0], dtype=np.float32)
     np.testing.assert_array_equal(y, expected)
+
+
+@pytest.mark.parametrize("nbits,es", [(8, 1), (8, 2), (8, 0), (16, 1), (6, 1),
+                                      (12, 2), (4, 1)])
+def test_posit_unit_mul_kernel_exhaustive(nbits, es):
+    """quantize_to_posit_unit_mul (the multiplication-form production kernel
+    for in-flash p-quant) == quantize_to_posit on every bf16 in [0, 1]."""
+    from quantized_training_tpu.numerics import quantize_to_posit
+    from quantized_training_tpu.numerics.posit import (
+        quantize_to_posit_unit_mul,
+    )
+
+    universe = bf16_universe()
+    vals = np.asarray(universe.astype(jnp.float32))
+    in_unit = (vals >= 0.0) & (vals <= 1.0)
+
+    ref = np.asarray(
+        quantize_to_posit(universe, nbits, es).astype(jnp.float32))
+    mul = np.asarray(
+        quantize_to_posit_unit_mul(universe, nbits, es).astype(jnp.float32))
+    np.testing.assert_array_equal(
+        mul[in_unit], ref[in_unit], err_msg=f"posit{nbits}_{es} unit_mul")
+
+
+def test_posit_unit_mul_f32_probes():
+    """The mul kernel must also agree with the bit-integer unit kernel at
+    full f32 granularity (the flash kernel quantizes f32 running probs):
+    dense random probes plus every rounding-boundary neighbourhood."""
+    from quantized_training_tpu.numerics import quantize_to_posit_unit
+    from quantized_training_tpu.numerics.posit import (
+        _unit_mul_chain, quantize_to_posit_unit_mul,
+    )
+
+    rng = np.random.default_rng(0)
+    for nbits, es in [(8, 1), (8, 2), (16, 1)]:
+        _, chain = _unit_mul_chain(nbits, es)
+        cuts = np.asarray([c for c, _ in chain], np.float32)
+        eps = np.spacing(cuts)
+        x = np.concatenate([
+            rng.random(500_000, dtype=np.float32),
+            np.exp(rng.uniform(np.log(1e-14), 0.0, 500_000)
+                   ).astype(np.float32),
+            cuts, cuts - eps, cuts + eps,
+            np.float32([0.0, 1.0]),
+        ])
+        x = np.clip(x, 0.0, 1.0)
+        a = np.asarray(quantize_to_posit_unit(jnp.asarray(x), nbits, es))
+        b = np.asarray(quantize_to_posit_unit_mul(jnp.asarray(x), nbits, es))
+        np.testing.assert_array_equal(a, b, err_msg=f"posit{nbits}_{es} f32")
