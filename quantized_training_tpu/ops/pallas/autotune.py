@@ -85,3 +85,56 @@ def attention_bwd_blocks(s: int, t: int, d: int):
         else:
             bq //= 2
     return bq, bk
+
+
+def _divisors_desc(n: int, multiple: int, cap: int):
+    """Divisors of n that are multiples of `multiple`, largest first,
+    capped."""
+    out = [d for d in range(multiple, min(n, cap) + 1, multiple)
+           if n % d == 0]
+    if n <= cap and n % multiple == 0 and n not in out:
+        out.append(n)
+    return sorted(set(out), reverse=True)
+
+
+def storage_matmul_blocks(m: int, k: int, n: int, *, code_bytes: int = 1,
+                          scale_block: int = 64):
+    """(block_m, block_k, block_n) for the weight-storage matmul kernels
+    (mx/posit codes streamed from HBM, converted in VMEM).
+
+    At decode shapes the GEMM is weight-bandwidth-bound, so the goal is the
+    widest N tile that fits (one pass over x and the scales; weights stream
+    once), then the largest K tile under the VMEM model.  Weight shapes like
+    5504 = 128 * 43 have no mid-size divisors — preferring full-N tiles is
+    what keeps such layers on the kernel instead of the XLA fallback.
+    """
+    # Mosaic block rule: a block dim must equal the array dim or be a
+    # multiple of the sublane count (8).
+    bm = m
+    if m > 256:
+        bm = 256
+        while m % bm or bm % 8:
+            bm -= 8
+            if bm < 8:
+                bm = m  # single tile: always legal
+                break
+
+    def fits(bk, bn):
+        # the converted-weights intermediate is not counted: Mosaic folds the
+        # convert+scale into the dot operand read (validated by on-chip runs
+        # of (128, 512, 5504) tiles, whose naive footprint would not fit)
+        x_tiles = 2 * bm * bk * 2
+        code_tiles = 2 * bk * bn * code_bytes
+        acc = bm * bn * 4 + bm * bn * 2
+        return x_tiles + code_tiles + acc <= VMEM_BUDGET
+
+    # the scales tile has block_k/scale_block sublanes — Mosaic requires
+    # that to be a multiple of 8 or the whole array, so bk = k or a
+    # multiple of 8*scale_block
+    bks = [k] + [b for b in (4096, 2048, 1024, 512)
+                 if b < k and k % b == 0 and b % (8 * scale_block) == 0]
+    for bn in _divisors_desc(n, 128, 8192):
+        for bk in sorted(set(bks), reverse=True):
+            if fits(bk, bn):
+                return bm, bk, bn
+    return None

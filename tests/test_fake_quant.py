@@ -444,3 +444,46 @@ class TestMXStorage:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+class TestStorageMatmulBlocks:
+    """VMEM-budget block picker for the weight-storage kernels."""
+
+    def test_picks_divide_and_satisfy_mosaic_rules(self):
+        from quantized_training_tpu.ops.pallas.autotune import (
+            storage_matmul_blocks,
+        )
+        for m, k, n in [(16, 2048, 5504), (128, 2048, 5504),
+                        (4096, 2048, 2048), (8, 4096, 11008),
+                        (32, 2048, 256)]:
+            picked = storage_matmul_blocks(m, k, n)
+            assert picked is not None, (m, k, n)
+            bm, bk, bn = picked
+            assert m % bm == 0 and k % bk == 0 and n % bn == 0
+            assert bm == m or bm % 8 == 0
+            assert bn % 128 == 0
+            # scales tile sublanes: bk/64 must be a multiple of 8 or whole
+            assert bk == k or (bk // 64) % 8 == 0
+
+    def test_prime_lane_factor_uses_full_n(self):
+        # 5504 = 128 * 43: no mid-size divisor, so the picker must choose a
+        # full-N tile rather than forcing the XLA fallback
+        from quantized_training_tpu.ops.pallas.autotune import (
+            storage_matmul_blocks,
+        )
+        bm, bk, bn = storage_matmul_blocks(16, 2048, 5504)
+        assert bn in (5504, 128)
+
+    def test_mx_matmul_autopicked_blocks_match_fallback(self):
+        from quantized_training_tpu.ops.pallas.mx_storage import (
+            mx_matmul, pack_mx_weights,
+        )
+        rng = np.random.default_rng(3)
+        w = jnp.asarray(rng.normal(size=(256, 5504)), jnp.bfloat16)
+        x = jnp.asarray(rng.normal(size=(16, 256)), jnp.bfloat16)
+        codes, scales = pack_mx_weights(w)
+        ref = mx_matmul(x, codes, scales, block_k=100)  # indivisible: fallback
+        out = mx_matmul(x, codes, scales)               # auto blocks
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
