@@ -59,13 +59,17 @@ def posit_matmul(
     *,
     nbits: int = 8,
     es: int = 1,
-    block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = 512,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
     out_dtype=None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """y = x @ decode_posit(w_codes); w_codes: (K, N) int8."""
+    """y = x @ decode_posit(w_codes); w_codes: (K, N) int8.
+
+    Blocks default to the VMEM-budget picker (autotune.py), which keeps
+    divisor-poor weight dims (e.g. 5504 = 128 * 43) on the kernel instead of
+    the XLA fallback."""
     M, K = x.shape
     K2, N = w_codes.shape
     assert K == K2
@@ -75,6 +79,17 @@ def posit_matmul(
         dev = jax.config.jax_default_device
         platform = dev.platform if dev is not None else jax.default_backend()
         interpret = platform != "tpu"
+
+    if block_m is None or block_n is None or block_k is None:
+        from .autotune import storage_matmul_blocks
+        picked = storage_matmul_blocks(M, K, N, code_bytes=1)
+        if picked is not None:
+            bm, bk, bn = picked
+            block_m = block_m or bm
+            block_k = block_k or bk
+            block_n = block_n or bn
+        else:
+            block_m = block_n = block_k = 1  # force fallback below
 
     block_m = min(block_m, M)
     block_n = min(block_n, N)
