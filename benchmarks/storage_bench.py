@@ -88,6 +88,29 @@ def main():
         "metric": "mx_storage_vs_bf16_decode_speedup",
         "value": round(t_bf / t_mx, 2), "unit": "x"}))
 
+    # W8A8 native-integer path (ops/int8_matmul.py): int8 x int8 -> s32 on
+    # the MXU + rank-1 rescale.  Halves operand bytes AND doubles MXU
+    # throughput where XLA lowers the s8 dot natively.
+    from quantized_training_tpu.ops.int8_matmul import (
+        pack_int8_weights, w8a8_matmul,
+    )
+    packed_i8 = [pack_int8_weights(w) for w in ws]
+    packed2_i8 = [pack_int8_weights(w) for w in ws2]
+
+    def mlp_w8a8(x, packed, packed2):
+        for (c, s), (c2, s2) in zip(packed, packed2):
+            h = w8a8_matmul(x, c, s, out_dtype=jnp.float32)
+            x = w8a8_matmul(jax.nn.silu(h).astype(jnp.bfloat16), c2, s2)
+        return x
+
+    t_i8 = timed(mlp_w8a8, x, packed_i8, packed2_i8)
+    print(json.dumps({
+        "metric": "mlp8L_decode_w8a8_ms", "value": round(t_i8 * 1e3, 3),
+        "unit": "ms", "gbps": round(bytes_bf / 2 / t_i8 / 1e9, 0)}))
+    print(json.dumps({
+        "metric": "w8a8_vs_bf16_decode_speedup",
+        "value": round(t_bf / t_i8, 2), "unit": "x"}))
+
 
 if __name__ == "__main__":
     main()

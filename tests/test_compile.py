@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from quantized_training_tpu.compile import (
@@ -70,3 +71,41 @@ def test_native_verifier(tmp_path):
     r = subprocess.run([exe, dir_a, dir_c], capture_output=True, text=True)
     assert r.returncode == 1
     assert "FAIL" in r.stdout
+
+
+class TestChipDump:
+    """Minotaur-equivalent training-step tensor dumps (reference
+    minotaur/utils_data.py:23-59)."""
+
+    def test_dump_training_step(self, tmp_path):
+        import json
+        from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+        from quantized_training_tpu.quantize import QConfig, QuantConfig
+        from quantized_training_tpu.utils.chip_dump import dump_training_step
+
+        qc = QuantConfig(global_qconfig=QConfig.from_strs(
+            activation="posit8_1", weight="posit8_1")).with_fusion(
+            forward="gemm")
+        cfg = LlamaConfig.tiny(max_position_embeddings=32)
+        model = LlamaForCausalLM(cfg, qc)
+        ids = jnp.asarray(np.random.default_rng(0).integers(1, 256, (2, 16)))
+        variables = model.init(jax.random.PRNGKey(0), ids)
+
+        def loss_fn(logits, batch):
+            tgt = batch["input_ids"][:, 1:]
+            lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+        path = dump_training_step(
+            model, variables, {"input_ids": ids}, loss_fn,
+            str(tmp_path), step=3,
+            filter_fn=lambda n: "layers_0" in n or n.startswith("weight."))
+        manifest = json.load(open(path))
+        assert manifest["step"] == 3 and np.isfinite(manifest["loss"])
+        roles = {t["role"] for t in manifest["tensors"]}
+        assert {"weight", "grad", "act"} <= roles
+        # every dumped file loads back with the manifest shape
+        import os
+        for t in manifest["tensors"][:8]:
+            arr = np.load(os.path.join(os.path.dirname(path), t["file"]))
+            assert list(arr.shape) == t["shape"]

@@ -487,3 +487,61 @@ class TestStorageMatmulBlocks:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+class TestW8A8Matmul:
+    """Native-integer W8A8 GEMM (ops/int8_matmul.py): the s32 accumulation
+    must equal the f32 evaluation of the dequantized codes exactly."""
+
+    def test_matches_dequant_reference(self):
+        from quantized_training_tpu.ops.int8_matmul import (
+            pack_int8_weights, quantize_int8_rowwise, w8a8_matmul,
+        )
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(32, 128)) * 3, jnp.float32)
+        w = jnp.asarray(rng.normal(size=(128, 64)), jnp.float32)
+        codes, ws = pack_int8_weights(w)
+        xc, xs = quantize_int8_rowwise(x)
+        # integer accumulation is exact, so scale *after* the int32 matmul
+        acc = np.asarray(xc, np.int32) @ np.asarray(codes, np.int32)
+        ref = (acc.astype(np.float32) * np.asarray(xs)[:, None]
+               * np.asarray(ws)[None, :])
+        out = np.asarray(w8a8_matmul(x, codes, ws, out_dtype=jnp.float32))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
+
+    def test_quantization_error_bounded(self):
+        from quantized_training_tpu.ops.int8_matmul import (
+            pack_int8_weights, w8a8_matmul,
+        )
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(16, 256)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(256, 96)), jnp.float32)
+        exact = np.asarray(x) @ np.asarray(w)
+        out = np.asarray(w8a8_matmul(x, *pack_int8_weights(w),
+                                     out_dtype=jnp.float32))
+        rel = np.abs(out - exact).max() / np.abs(exact).max()
+        assert rel < 0.02, rel  # int8 x int8 keeps ~2 decimal digits
+
+    def test_zero_rows_and_channels(self):
+        from quantized_training_tpu.ops.int8_matmul import (
+            pack_int8_weights, quantize_int8_rowwise, w8a8_matmul,
+        )
+        x = jnp.zeros((4, 32), jnp.bfloat16)
+        w = jnp.zeros((32, 8), jnp.float32)
+        codes, ws = pack_int8_weights(w)
+        xc, xs = quantize_int8_rowwise(x)
+        assert np.all(np.isfinite(np.asarray(xs)))
+        assert np.all(np.isfinite(np.asarray(ws)))
+        out = np.asarray(w8a8_matmul(x, codes, ws), np.float32)
+        np.testing.assert_array_equal(out, 0.0)
+
+    def test_jit_and_dtype(self):
+        from quantized_training_tpu.ops.int8_matmul import (
+            pack_int8_weights, w8a8_matmul,
+        )
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(8, 64)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+        codes, ws = pack_int8_weights(w)
+        out = jax.jit(w8a8_matmul)(x, codes, ws)
+        assert out.dtype == jnp.bfloat16 and out.shape == (8, 32)
