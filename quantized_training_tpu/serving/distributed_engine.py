@@ -58,7 +58,7 @@ class DistributedEngine(ContinuousBatchingEngine):
 
     def __init__(self, model, variables, mesh: Mesh, *,
                  batch_slots: int = 8, eos_token_id: Optional[int] = None,
-                 rules: Optional[Rules] = None):
+                 rules: Optional[Rules] = None, **sampling_kw):
         self.mesh = mesh
         self.rules = tuple(rules) if rules is not None else shard_rules_llama()
         data = mesh.shape.get(DATA_AXIS, 1)
@@ -68,7 +68,7 @@ class DistributedEngine(ContinuousBatchingEngine):
             if k != "cache"
         }
         super().__init__(model, variables, batch_slots=batch_slots,
-                         eos_token_id=eos_token_id)
+                         eos_token_id=eos_token_id, **sampling_kw)
         self._tok_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
         self.tokens = jax.device_put(self.tokens, self._tok_sharding)
         self._cache_shardings = None
@@ -118,6 +118,7 @@ class DistributedEngine(ContinuousBatchingEngine):
         S = len(ids)
         padded = np.zeros((1, P_), np.int32)
         padded[0, :S] = ids
+        self._rng, prefill_rng = jax.random.split(self._rng)
         logits, upd = self._prefill_fn()(
             self.variables, jnp.asarray(padded), jnp.asarray(S, jnp.int32))
         # jitted merge pinned to the cache shardings, so the big cache never
@@ -139,7 +140,9 @@ class DistributedEngine(ContinuousBatchingEngine):
                 return cache, tokens.at[b, 0].set(tok)
 
             self._merge = merge
-        next_tok = fast_argmax(logits[0, S - 1][None])[0].astype(jnp.int32)
+        from .generate import _sample
+        next_tok = _sample(logits[0, S - 1][None], prefill_rng,
+                           self.temperature, self.top_k)[0].astype(jnp.int32)
         self.cache, self.tokens = self._merge(
             self.cache, upd["cache"], b, self.tokens, next_tok)
         self.slots[b].generated = [int(jax.device_get(next_tok))]
@@ -148,8 +151,10 @@ class DistributedEngine(ContinuousBatchingEngine):
         if self.cache is None:
             return
         main_len, res_len = self._lengths()
+        self._rng, step_rng = jax.random.split(self._rng)
         self.cache, nxt = self._decode_fn()(
-            self.variables, self.cache, self.tokens, main_len, res_len)
+            self.variables, self.cache, self.tokens, main_len, res_len,
+            step_rng)
         # Host-side scheduling needs every slot's token on every process; the
         # sampled ids are data-sharded, so gather across processes first.
         if jax.process_count() > 1:
@@ -176,17 +181,20 @@ class DistributedEngine(ContinuousBatchingEngine):
         if self._decode is not None:
             return self._decode
         model = self.model
+        temperature, top_k = self.temperature, self.top_k
         assert self._cache_shardings is not None
 
         @partial(jax.jit, out_shardings=(self._cache_shardings,
                                          NamedSharding(self.mesh,
                                                        P(DATA_AXIS))))
-        def decode(variables, cache, tokens, main_len, res_len):
+        def decode(variables, cache, tokens, main_len, res_len, rng):
             positions = (main_len + res_len)[:, None]
             logits, upd = model.apply(
                 {**variables, "cache": cache}, tokens,
                 positions=positions, use_cache=True, mutable=["cache"])
-            nxt = fast_argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            from .generate import _sample
+            nxt = _sample(logits[:, -1], rng, temperature,
+                          top_k).astype(jnp.int32)
             return upd["cache"], nxt
 
         self._decode = decode
@@ -202,7 +210,8 @@ def decode_collective_report(engine: DistributedEngine) -> Dict[str, int]:
         engine._init_cache()
     main_len, res_len = engine._lengths()
     lowered = engine._decode_fn().lower(
-        engine.variables, engine.cache, engine.tokens, main_len, res_len)
+        engine.variables, engine.cache, engine.tokens, main_len, res_len,
+        jax.random.PRNGKey(0))
     text = lowered.compile().as_text()
     report = {}
     for op in _COLLECTIVES:

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .generate import fast_argmax
+from .generate import _sample, fast_argmax
 from .kv_cache import KVCacheConfig
 
 __all__ = ["ContinuousBatchingEngine"]
@@ -44,13 +44,19 @@ class ContinuousBatchingEngine:
     """
 
     def __init__(self, model, variables, *, batch_slots: int = 8,
-                 eos_token_id: Optional[int] = None):
+                 eos_token_id: Optional[int] = None,
+                 temperature: float = 0.0, top_k: Optional[int] = None,
+                 rng: Optional[jax.Array] = None):
         assert model.config.kv_cache is not None, "model needs a kv_cache"
         self.model = model
         self.variables = {k: v for k, v in variables.items() if k != "cache"}
         self.kcfg: KVCacheConfig = model.config.kv_cache
         self.B = batch_slots
         self.eos = eos_token_id
+        # sampling config (greedy when temperature == 0, like generate())
+        self.temperature = float(temperature)
+        self.top_k = top_k
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         cfg = model.config
         self.cache = None  # jax pytree {layer_path: QuantizedKVCache-like}
         self.slots = [_Slot() for _ in range(batch_slots)]
@@ -119,6 +125,7 @@ class ContinuousBatchingEngine:
         # cost 30s-5min each).  prompt_len masks pad slots in attention and
         # zeroes their K/V before cache quantization, so the stored cache is
         # bit-identical to a true-length prefill.
+        self._rng, prefill_rng = jax.random.split(self._rng)
         logits, upd = self._prefill_fn()(
             self.variables, jnp.asarray(padded), jnp.asarray(S, jnp.int32))
         small = upd["cache"]
@@ -132,7 +139,9 @@ class ContinuousBatchingEngine:
 
         self.cache = jax.tree_util.tree_map(merge, self.cache, small)
         # last *real* token's logits (host-side gather; S is host-known)
-        next_tok = int(fast_argmax(logits[0, S - 1][None])[0])
+        next_tok = int(np.asarray(_sample(
+            logits[0, S - 1][None], prefill_rng, self.temperature,
+            self.top_k))[0])
         self.tokens = self.tokens.at[b, 0].set(next_tok)
         self.slots[b].generated = [next_tok]
 
@@ -153,9 +162,10 @@ class ContinuousBatchingEngine:
         if self._decode is not None:
             return self._decode
         model, kcfg = self.model, self.kcfg
+        temperature, top_k = self.temperature, self.top_k
 
         @jax.jit
-        def decode(variables, cache, tokens, main_len, res_len):
+        def decode(variables, cache, tokens, main_len, res_len, rng):
             positions = (main_len + res_len)[:, None]
             # No explicit mask: the attention layer derives per-slot
             # visibility from the cache lengths (and can use the fused
@@ -164,7 +174,8 @@ class ContinuousBatchingEngine:
                 {**variables, "cache": cache}, tokens,
                 positions=positions,
                 use_cache=True, mutable=["cache"])
-            nxt = fast_argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = _sample(logits[:, -1], rng, temperature,
+                          top_k).astype(jnp.int32)
             return upd["cache"], nxt
 
         self._decode = decode
@@ -175,8 +186,10 @@ class ContinuousBatchingEngine:
             return
         main_len, res_len = self._lengths()
         decode = self._decode_fn()
+        self._rng, step_rng = jax.random.split(self._rng)
         self.cache, nxt = decode(
-            self.variables, self.cache, self.tokens, main_len, res_len)
+            self.variables, self.cache, self.tokens, main_len, res_len,
+            step_rng)
         nxt_host = np.asarray(nxt)
         self.tokens = nxt[:, None]
         for b, slot in enumerate(self.slots):

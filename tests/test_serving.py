@@ -488,3 +488,45 @@ class TestContinuousBatching:
                 for _ in range(4)]
         results = engine.run()
         assert set(results) == set(rids)
+
+
+class TestEngineSampling:
+    """Sampling in the continuous-batching engine (parity with generate())."""
+
+    def _engine(self, **kw):
+        from quantized_training_tpu.serving.engine import (
+            ContinuousBatchingEngine,
+        )
+        kcfg = KVCacheConfig(max_prefill=8, max_decode=8)
+        cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model = LlamaForCausalLM(cfg, None)
+        rng = np.random.default_rng(13)
+        ids0 = jnp.asarray(rng.integers(0, 256, (1, 8)))
+        vars_ = model.init(jax.random.PRNGKey(0), ids0)
+        return ContinuousBatchingEngine(
+            model, {"params": vars_["params"]}, batch_slots=2, **kw), rng
+
+    def test_temperature_sampling_deterministic_given_seed(self):
+        eng1, rng = self._engine(temperature=0.8, top_k=20,
+                                 rng=jax.random.PRNGKey(7))
+        prompt = rng.integers(0, 256, 8)
+        r1 = eng1.submit(prompt, max_new_tokens=5)
+        out1 = eng1.run()
+        eng2, _ = self._engine(temperature=0.8, top_k=20,
+                               rng=jax.random.PRNGKey(7))
+        r2 = eng2.submit(prompt, max_new_tokens=5)
+        out2 = eng2.run()
+        assert out1[r1] == out2[r2]
+        eng3, _ = self._engine(temperature=0.8, top_k=20,
+                               rng=jax.random.PRNGKey(8))
+        r3 = eng3.submit(prompt, max_new_tokens=5)
+        out3 = eng3.run()
+        assert out1[r1] != out3[r3]  # different seed, different tokens
+
+    def test_greedy_default_unchanged(self):
+        eng, rng = self._engine()
+        prompt = rng.integers(0, 256, 8)
+        rid = eng.submit(prompt, max_new_tokens=4)
+        ref = generate(eng.model, {"params": eng.variables["params"]},
+                       jnp.asarray(prompt[None]), max_new_tokens=4)
+        assert eng.run()[rid] == np.asarray(ref[0, 8:]).tolist()
