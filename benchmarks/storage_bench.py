@@ -111,6 +111,31 @@ def main():
         "metric": "w8a8_vs_bf16_decode_speedup",
         "value": round(t_bf / t_i8, 2), "unit": "x"}))
 
+    # W4A16 group-affine storage (ops/pallas/affine_storage.py): plane-packed
+    # uint4 codes stream 4x fewer weight bytes than bf16.  group_size=64 so
+    # per*G=128 divides both 2048 and 5504.
+    from quantized_training_tpu.ops.pallas.affine_storage import (
+        affine_matmul, pack_affine_weights,
+    )
+    packed_w4 = [pack_affine_weights(w, 4, 64) for w in ws]
+    packed2_w4 = [pack_affine_weights(w, 4, 64) for w in ws2]
+
+    def mlp_w4(x, packed, packed2):
+        for (c, s, z), (c2, s2, z2) in zip(packed, packed2):
+            h = affine_matmul(x, c, s, z, nbits=4, group_size=64,
+                              out_dtype=jnp.float32)
+            x = affine_matmul(jax.nn.silu(h).astype(jnp.bfloat16), c2, s2,
+                              z2, nbits=4, group_size=64)
+        return x
+
+    t_w4 = timed(mlp_w4, x, packed_w4, packed2_w4)
+    print(json.dumps({
+        "metric": "mlp8L_decode_w4a16_ms", "value": round(t_w4 * 1e3, 3),
+        "unit": "ms", "gbps": round(bytes_bf / 4 / t_w4 / 1e9, 0)}))
+    print(json.dumps({
+        "metric": "w4a16_vs_bf16_decode_speedup",
+        "value": round(t_bf / t_w4, 2), "unit": "x"}))
+
 
 if __name__ == "__main__":
     main()

@@ -545,3 +545,94 @@ class TestW8A8Matmul:
         codes, ws = pack_int8_weights(w)
         out = jax.jit(w8a8_matmul)(x, codes, ws)
         assert out.dtype == jnp.bfloat16 and out.shape == (8, 32)
+
+
+class TestAffineStorage:
+    """W4A16 / W2A16 group-affine weight storage (ops/pallas/affine_storage)."""
+
+    def test_pack_matches_fake_quant_spec(self):
+        from quantized_training_tpu.ops.pallas.affine_storage import (
+            pack_affine_weights, affine_spec, _dequant_planes,
+        )
+        rng = np.random.default_rng(21)
+        for nbits, gs in [(4, 128), (2, 64), (8, 128)]:
+            per = 8 // nbits
+            w = jnp.asarray(rng.standard_normal((per * gs * 2, 64)),
+                            jnp.float32)
+            packed, sf, zp = pack_affine_weights(w, nbits, gs)
+            assert packed.dtype == jnp.int8
+            assert packed.shape == (w.shape[0] // per, 64)
+            wq, _ = fake_quantize(w, affine_spec(nbits, gs))
+            deq = _dequant_planes(packed, sf, zp, nbits, gs, per)
+            np.testing.assert_array_equal(np.asarray(deq), np.asarray(wq))
+
+    def test_matmul_fallback_matches_dequant(self):
+        from quantized_training_tpu.ops.pallas.affine_storage import (
+            pack_affine_weights, affine_matmul, _dequant_planes,
+        )
+        rng = np.random.default_rng(22)
+        x = jnp.asarray(rng.standard_normal((8, 512)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((512, 96)) * 0.2, jnp.bfloat16)
+        packed, sf, zp = pack_affine_weights(w, 4, 128)
+        out = affine_matmul(x, packed, sf, zp, nbits=4, group_size=128)
+        deq = _dequant_planes(packed, sf, zp, 4, 128, 2).astype(jnp.bfloat16)
+        ref = jnp.dot(x, deq, preferred_element_type=jnp.float32).astype(
+            jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(ref, np.float32))
+
+    def test_kernel_body_matches_fallback_interpret(self):
+        # Runs the actual Pallas kernel (plane unpack, per-group rescale,
+        # multi-plane accumulation) under the interpreter on CPU.
+        from quantized_training_tpu.ops.pallas.affine_storage import (
+            pack_affine_weights, affine_matmul,
+        )
+        rng = np.random.default_rng(23)
+        for nbits, gs in [(4, 64), (2, 64)]:
+            K, N = 1024, 256
+            x = jnp.asarray(rng.standard_normal((16, K)), jnp.bfloat16)
+            w = jnp.asarray(rng.standard_normal((K, N)) * 0.3, jnp.bfloat16)
+            packed, sf, zp = pack_affine_weights(w, nbits, gs)
+            ref = affine_matmul(x, packed, sf, zp, nbits=nbits, group_size=gs)
+            kp = K // (8 // nbits)
+            out = affine_matmul(
+                x, packed, sf, zp, nbits=nbits, group_size=gs,
+                block_m=16, block_n=128, block_k=kp // 2,
+                interpret=True, force_kernel=True)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                rtol=2e-2, atol=2e-2)
+
+    def test_autopicked_blocks_match_fallback(self):
+        from quantized_training_tpu.ops.pallas.affine_storage import (
+            pack_affine_weights, affine_matmul,
+        )
+        from quantized_training_tpu.ops.pallas.autotune import (
+            storage_matmul_blocks,
+        )
+        # LLaMA MLP shape: 5504 has no mid-size divisor; picker must keep
+        # the kernel path at K/per packed rows.
+        picked = storage_matmul_blocks(16, 2048 // 2, 5504, code_bytes=1,
+                                       scale_block=128)
+        assert picked is not None
+        bm, bk, bn = picked
+        assert (2048 // 2) % bk == 0 and bk % 128 == 0
+        rng = np.random.default_rng(24)
+        x = jnp.asarray(rng.standard_normal((16, 2048)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((2048, 5504)) * 0.1, jnp.bfloat16)
+        packed, sf, zp = pack_affine_weights(w, 4, 128)
+        ref = affine_matmul(x, packed, sf, zp, nbits=4, group_size=128,
+                            block_k=100)  # indivisible: fallback
+        out = affine_matmul(x, packed, sf, zp, nbits=4, group_size=128,
+                            interpret=True, force_kernel=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_group_straddling_planes_raises(self):
+        from quantized_training_tpu.ops.pallas.affine_storage import (
+            pack_affine_weights,
+        )
+        w = jnp.zeros((192, 8), jnp.float32)  # 192 not multiple of 2*128
+        with pytest.raises(ValueError):
+            pack_affine_weights(w, 4, 128)
