@@ -27,7 +27,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <deque>
+#include <map>
 #include <mutex>
 #include <random>
 #include <thread>
@@ -45,8 +45,10 @@ struct Loader {
   std::vector<long> order;      // shuffled window indices for this epoch
   std::mt19937_64 rng;
 
-  // prefetch ring
-  std::deque<std::vector<int32_t>> ready;
+  // prefetch ring, keyed by batch index: with several workers, fills finish
+  // out of order, but the consumer must see batch 0, 1, 2, ... or the seeded
+  // shuffle would not be reproducible across runs
+  std::map<long, std::vector<int32_t>> ready;
   size_t max_ready = 8;
   long next_batch = 0;          // next batch index workers will claim
   long delivered = 0;           // batches handed to the consumer this epoch
@@ -87,9 +89,9 @@ struct Loader {
       fill(buf, b);
       {
         std::unique_lock<std::mutex> lk(mu);
-        ready.push_back(std::move(buf));
+        ready.emplace(b, std::move(buf));
       }
-      cv_ready.notify_one();
+      cv_ready.notify_all();
     }
   }
 };
@@ -149,9 +151,12 @@ int qtl_next(void* h, int32_t* out) {
       L->cv_space.notify_all();
       return 1;
     }
-    L->cv_ready.wait(lk, [&] { return !L->ready.empty(); });
-    buf = std::move(L->ready.front());
-    L->ready.pop_front();
+    // wait specifically for the next in-order batch (workers may have
+    // finished later ones first)
+    L->cv_ready.wait(lk, [&] { return L->ready.count(L->delivered) != 0; });
+    auto it = L->ready.find(L->delivered);
+    buf = std::move(it->second);
+    L->ready.erase(it);
     L->delivered++;
   }
   L->cv_space.notify_all();

@@ -13,6 +13,7 @@ Builds the shared library on first use if the checkout is fresh
 import ctypes
 import os
 import subprocess
+import weakref
 from typing import Iterator, Optional
 
 import numpy as np
@@ -70,6 +71,10 @@ class TokenLoader:
         self.batch = batch
         self.num_batches = int(self._lib.qtl_num_batches(self._h))
         self._buf = np.empty((batch, seq_len + 1), dtype=np.int32)
+        # unclosed loaders would leak the C++ worker threads and the whole
+        # in-memory corpus; tie cleanup to GC (close() remains idempotent)
+        self._finalizer = weakref.finalize(
+            self, self._lib.qtl_close, self._h)
 
     def __len__(self) -> int:
         return self.num_batches
@@ -85,7 +90,7 @@ class TokenLoader:
 
     def close(self) -> None:
         if self._h:
-            self._lib.qtl_close(self._h)
+            self._finalizer()   # calls qtl_close exactly once
             self._h = None
 
     def __enter__(self):

@@ -20,7 +20,7 @@ through the same QuantConfig sites as QDense (gemm category), so MoE layers
 ride the existing posit8/fp8 ladders.
 """
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,7 @@ class QMoEFFN(nn.Module, QuantMixin):
     num_experts: int
     ffn_dim: int
     capacity_factor: float = 1.25
-    dtype = jnp.bfloat16
+    dtype: Any = jnp.bfloat16
     qconfig: Optional[QuantConfig] = None
 
     @nn.compact

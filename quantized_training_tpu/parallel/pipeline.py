@@ -81,7 +81,7 @@ def pipeline_apply(
         out = jnp.zeros_like(xs)               # collected on the last device
         T = M + n_pipe - 1
 
-        def tick(t, carry):
+        def tick(t, carry, do_permute=True):
             state, out = carry
             # device 0 ingests microbatch t (garbage after M ticks — the
             # results of those ticks are never collected)
@@ -103,12 +103,17 @@ def pipeline_apply(
                 out,
             )
             # hand activations to the next stage (ring: last -> 0 carries
-            # garbage that device 0 ignores)
-            perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
-            state = jax.lax.ppermute(h, axis, perm)
+            # garbage that device 0 ignores); the final tick skips the hop —
+            # its rotated state is never read
+            if do_permute:
+                perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
+                state = jax.lax.ppermute(h, axis, perm)
+            else:
+                state = h
             return state, out
 
-        _, out = jax.lax.fori_loop(0, T, tick, (state, out))
+        carry = jax.lax.fori_loop(0, T - 1, tick, (state, out))
+        _, out = tick(T - 1, carry, do_permute=False)
         # only the last device holds real outputs: broadcast them
         out = jax.lax.psum(
             jnp.where(p == n_pipe - 1, out, jnp.zeros_like(out)), axis)

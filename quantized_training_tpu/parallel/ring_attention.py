@@ -10,7 +10,8 @@ matrix never exists anywhere.
 Composition with the quantized cache: with ``kv_spec`` set, each device
 group-quantizes its K/V shard once (KIVI layout: K along tokens, V along
 features) and the ring rotates the *codes + scales* instead of bf16 tensors
-— 2-4x less ICI traffic for uint4/uint2 — with dequantize-on-arrival in
+— int8 codes, plane-packed sub-byte for uint4/uint2, so the payload is
+4-8x fewer bytes than bf16 — with unpack + dequantize-on-arrival in
 VMEM-resident compute.  Scores are exact w.r.t. the dequantized values (the
 same values a KIVI cache would serve).
 
@@ -35,10 +36,19 @@ __all__ = ["ring_attention", "ring_attention_reference"]
 NEG_INF = -1e30
 
 
+def _payload_nbits(spec: QuantizationSpec) -> int:
+    """Code width for the rotating payload; sub-byte packing needs unsigned
+    2/4-bit codes, everything else ships one int8 byte per code."""
+    if spec.quant_min == 0 and spec.quant_max in (3.0, 15.0):
+        return 2 if spec.quant_max == 3.0 else 4
+    return 8
+
+
 def _group_quantize(x, spec: QuantizationSpec):
     """Group-affine quantize along spec.ch_axis (KIVI layout); returns
-    (codes f32, scale, zp) with group-expanded dequant = (codes - zp) *
-    scale."""
+    (codes int8 — plane-packed sub-byte for uint2/uint4 so the ring moves
+    2-8x fewer bytes than bf16 — scale f32, zp f32) with group-expanded
+    dequant = (codes - zp) * scale."""
     ax = spec.ch_axis if spec.ch_axis >= 0 else x.ndim + spec.ch_axis
     bs = spec.block_size
     n = x.shape[ax]
@@ -54,14 +64,39 @@ def _group_quantize(x, spec: QuantizationSpec):
     zp = -mn / scale + spec.quant_min
     codes = jnp.clip(jnp.round(xg / scale + zp),
                      spec.quant_min, spec.quant_max)
-    return (codes.reshape(x.shape),
-            jnp.squeeze(scale, ax + 1), jnp.squeeze(zp, ax + 1))
+    codes = codes.reshape(x.shape).astype(jnp.int32)
+    nbits = _payload_nbits(spec)
+    per = 8 // nbits
+    if per > 1 and x.shape[ax] % (per * bs) == 0:
+        # plane-pack along the group axis: byte r holds the codes of planes
+        # r + p*(n/per) in bit field p (groups never straddle planes)
+        planes = jnp.split(codes, per, axis=ax)
+        packed = planes[0]
+        for p in range(1, per):
+            packed = packed | (planes[p] << (nbits * p))
+        codes = packed
+    codes = codes.astype(jnp.int8)   # integer codes: lossless round trip
+    return (codes, jnp.squeeze(scale, ax + 1), jnp.squeeze(zp, ax + 1))
 
 
 def _dequantize(codes, scale, zp, spec: QuantizationSpec):
-    s = expand_scale(scale, codes.shape, spec.block_size)
-    z = expand_scale(zp, codes.shape, spec.block_size)
-    return (codes - z) * s
+    ax = spec.ch_axis if spec.ch_axis >= 0 else codes.ndim + spec.ch_axis
+    c = codes.astype(jnp.int32)
+    # the packing factor is self-describing: scale carries one entry per
+    # group of the *unpacked* dim
+    per = (scale.shape[ax] * spec.block_size) // codes.shape[ax]
+    if per > 1:
+        nbits = 8 // per
+        mask = (1 << nbits) - 1
+        u = c & 0xFF
+        c = jnp.concatenate([(u >> (nbits * p)) & mask for p in range(per)],
+                            axis=ax)
+    elif spec.quant_min == 0:
+        c = c & 0xFF                # undo int8 wrap of unsigned codes > 127
+    c = c.astype(jnp.float32)
+    s = expand_scale(scale, c.shape, spec.block_size)
+    z = expand_scale(zp, c.shape, spec.block_size)
+    return (c - z) * s
 
 
 def ring_attention(
@@ -107,8 +142,7 @@ def ring_attention(
         l0 = jnp.zeros((B, H, S_loc, 1), jnp.float32)
         acc0 = jnp.zeros((B, H, S_loc, D), jnp.float32)
 
-        def step(t, carry):
-            payload, m, l, acc = carry
+        def compute(t, payload, m, l, acc):
             if spec is not None:
                 kc, ks, kz, vc, vs, vz = payload
                 k_t = _dequantize(kc, ks, kz, spec)
@@ -130,13 +164,19 @@ def ring_attention(
                 jnp.where(m <= NEG_INF / 2, NEG_INF, m - m_new))
             l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * corr + jnp.einsum("bhqk,bkhd->bhqd", p, v_t)
+            return m_new, l, acc
 
+        def step(t, carry):
+            # permute-then-compute: the ring pays n_shards - 1 hops, not n
+            payload, m, l, acc = carry
             payload = jax.tree_util.tree_map(
                 lambda x: jax.lax.ppermute(x, seq_axis, perm), payload)
-            return payload, m_new, l, acc
+            m, l, acc = compute(t, payload, m, l, acc)
+            return payload, m, l, acc
 
+        m, l, acc = compute(0, payload, m0, l0, acc0)
         _, m, l, acc = jax.lax.fori_loop(
-            0, n_shards, step, (payload, m0, l0, acc0))
+            1, n_shards, step, (payload, m, l, acc))
         out = acc / jnp.maximum(l, 1e-30)
         return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 

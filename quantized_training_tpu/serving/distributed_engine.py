@@ -29,19 +29,18 @@ the single-host engine — only array placement changes.
 """
 
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+from ..parallel.mesh import DATA_AXIS
 from ..parallel.sharding import (
     Rules, apply_sharding_rules, shard_pytree, shard_rules_llama,
 )
 from .engine import ContinuousBatchingEngine
-from .generate import fast_argmax
 
 __all__ = ["DistributedEngine", "decode_collective_report"]
 
@@ -96,7 +95,10 @@ class DistributedEngine(ContinuousBatchingEngine):
         self.queue = [
             (int(r[0]), r[3:3 + int(r[2])].copy(), int(r[1])) for r in flat
         ]
-        self._next_id = max([q[0] for q in self.queue], default=-1) + 1
+        # keep ids monotonic: never move _next_id backwards (process 0 may
+        # already have handed out higher ids; an empty queue must not reset)
+        self._next_id = max(
+            self._next_id, max([q[0] for q in self.queue], default=-1) + 1)
 
     def run(self) -> Dict[int, List[int]]:
         self.sync_queue()
@@ -110,17 +112,7 @@ class DistributedEngine(ContinuousBatchingEngine):
         self.cache = jax.tree_util.tree_map(
             jax.device_put, self.cache, self._cache_shardings)
 
-    def _prefill_slot(self, b: int, ids: np.ndarray):
-        if self.cache is None:
-            self._init_cache()
-        P_ = self.kcfg.max_prefill
-        ids = ids[-P_:]
-        S = len(ids)
-        padded = np.zeros((1, P_), np.int32)
-        padded[0, :S] = ids
-        self._rng, prefill_rng = jax.random.split(self._rng)
-        logits, upd = self._prefill_fn()(
-            self.variables, jnp.asarray(padded), jnp.asarray(S, jnp.int32))
+    def _merge_prefill(self, b: int, small, logits, S: int, prefill_rng):
         # jitted merge pinned to the cache shardings, so the big cache never
         # migrates off its placement (slot index is a static arg: B distinct
         # tiny programs, compiled once each)
@@ -144,17 +136,10 @@ class DistributedEngine(ContinuousBatchingEngine):
         next_tok = _sample(logits[0, S - 1][None], prefill_rng,
                            self.temperature, self.top_k)[0].astype(jnp.int32)
         self.cache, self.tokens = self._merge(
-            self.cache, upd["cache"], b, self.tokens, next_tok)
+            self.cache, small, b, self.tokens, next_tok)
         self.slots[b].generated = [int(jax.device_get(next_tok))]
 
-    def step(self):
-        if self.cache is None:
-            return
-        main_len, res_len = self._lengths()
-        self._rng, step_rng = jax.random.split(self._rng)
-        self.cache, nxt = self._decode_fn()(
-            self.variables, self.cache, self.tokens, main_len, res_len,
-            step_rng)
+    def _publish_next(self, nxt) -> np.ndarray:
         # Host-side scheduling needs every slot's token on every process; the
         # sampled ids are data-sharded, so gather across processes first.
         if jax.process_count() > 1:
@@ -165,40 +150,12 @@ class DistributedEngine(ContinuousBatchingEngine):
         else:
             nxt_host = np.asarray(nxt)
         self.tokens = jax.device_put(nxt[:, None], self._tok_sharding)
-        for b, slot in enumerate(self.slots):
-            if slot.request_id is None:
-                continue
-            tok = int(nxt_host[b])
-            slot.generated.append(tok)
-            done = (self.eos is not None and tok == self.eos) or \
-                len(slot.generated) >= slot.budget or \
-                len(slot.generated) >= self.kcfg.max_decode
-            if done:
-                self.finished[slot.request_id] = slot.generated
-                slot.request_id = None
+        return nxt_host
 
-    def _decode_fn(self):
-        if self._decode is not None:
-            return self._decode
-        model = self.model
-        temperature, top_k = self.temperature, self.top_k
+    def _decode_jit_kwargs(self):
         assert self._cache_shardings is not None
-
-        @partial(jax.jit, out_shardings=(self._cache_shardings,
-                                         NamedSharding(self.mesh,
-                                                       P(DATA_AXIS))))
-        def decode(variables, cache, tokens, main_len, res_len, rng):
-            positions = (main_len + res_len)[:, None]
-            logits, upd = model.apply(
-                {**variables, "cache": cache}, tokens,
-                positions=positions, use_cache=True, mutable=["cache"])
-            from .generate import _sample
-            nxt = _sample(logits[:, -1], rng, temperature,
-                          top_k).astype(jnp.int32)
-            return upd["cache"], nxt
-
-        self._decode = decode
-        return decode
+        return {"out_shardings": (self._cache_shardings,
+                                  NamedSharding(self.mesh, P(DATA_AXIS)))}
 
 
 def decode_collective_report(engine: DistributedEngine) -> Dict[str, int]:

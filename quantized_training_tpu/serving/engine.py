@@ -128,8 +128,12 @@ class ContinuousBatchingEngine:
         self._rng, prefill_rng = jax.random.split(self._rng)
         logits, upd = self._prefill_fn()(
             self.variables, jnp.asarray(padded), jnp.asarray(S, jnp.int32))
-        small = upd["cache"]
+        self._merge_prefill(b, upd["cache"], logits, S, prefill_rng)
 
+    def _merge_prefill(self, b: int, small, logits, S: int, prefill_rng):
+        """Write one prefilled slot (cache leaves + first sampled token) into
+        the batched state.  The distributed engine overrides this with a
+        jitted merge pinned to the cache shardings."""
         def merge(big, small_leaf):
             if big.ndim == 1 and small_leaf.ndim == 0:   # per-slot lengths
                 return big.at[b].set(small_leaf.astype(big.dtype))
@@ -158,13 +162,18 @@ class ContinuousBatchingEngine:
             self._prefill = prefill
         return self._prefill
 
+    def _decode_jit_kwargs(self):
+        """Extra jax.jit kwargs for the decode step (the distributed engine
+        pins out_shardings here)."""
+        return {}
+
     def _decode_fn(self):
         if self._decode is not None:
             return self._decode
         model, kcfg = self.model, self.kcfg
         temperature, top_k = self.temperature, self.top_k
 
-        @jax.jit
+        @partial(jax.jit, **self._decode_jit_kwargs())
         def decode(variables, cache, tokens, main_len, res_len, rng):
             positions = (main_len + res_len)[:, None]
             # No explicit mask: the attention layer derives per-slot
@@ -190,8 +199,7 @@ class ContinuousBatchingEngine:
         self.cache, nxt = decode(
             self.variables, self.cache, self.tokens, main_len, res_len,
             step_rng)
-        nxt_host = np.asarray(nxt)
-        self.tokens = nxt[:, None]
+        nxt_host = self._publish_next(nxt)
         for b, slot in enumerate(self.slots):
             if slot.request_id is None:
                 continue
@@ -203,6 +211,12 @@ class ContinuousBatchingEngine:
             if done:
                 self.finished[slot.request_id] = slot.generated
                 slot.request_id = None
+
+    def _publish_next(self, nxt) -> np.ndarray:
+        """Store the sampled ids as the next decode input and return them as
+        host numpy (every process; the distributed engine allgathers)."""
+        self.tokens = nxt[:, None]
+        return np.asarray(nxt)
 
     def _lengths(self):
         """Per-slot lengths from the first layer's cache entry."""

@@ -75,3 +75,24 @@ class TestTokenLoader:
                 n += 1
                 assert b.shape == (16, 33)
             assert n == len(dl) == n_windows // 16
+
+    def test_thread_count_does_not_change_order(self, corpus):
+        # the seeded shuffle must be reproducible regardless of worker count
+        def epoch_order(n_threads):
+            with TokenLoader(corpus, seq_len=8, batch=4, seed=11,
+                             n_threads=n_threads) as dl:
+                return [b.copy() for b in dl.epoch()]
+
+        a, b = epoch_order(1), epoch_order(4)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_gc_closes_unclosed_loader(self, corpus):
+        import gc
+        dl = TokenLoader(corpus, seq_len=8, batch=4, seed=1)
+        fin = dl._finalizer
+        assert fin.alive
+        del dl
+        gc.collect()
+        assert not fin.alive  # qtl_close ran via the finalizer

@@ -88,3 +88,39 @@ class TestRingAttention:
         g_ref = jax.grad(ref_loss)(q, k, v)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestRingPayload:
+    """The rotating payload must actually be small: int8 codes, plane-packed
+    sub-byte for uint2/uint4 (the ICI-traffic claim), and hop count n-1."""
+
+    def test_codes_are_packed_int8(self):
+        from quantized_training_tpu.parallel.ring_attention import (
+            _group_quantize, _dequantize,
+        )
+        from quantized_training_tpu.qspec import QuantizationSpec
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 128, 4, 32)), jnp.float32)
+        for s, per in [("uint2,qs=group_wise_affine,bs=32,ax=1", 4),
+                       ("uint4,qs=group_wise_affine,bs=32,ax=1", 2),
+                       ("int8,qs=group_wise_affine,bs=32,ax=1", 1)]:
+            spec = QuantizationSpec.from_str(s)
+            codes, sf, zp = _group_quantize(x, spec)
+            assert codes.dtype == jnp.int8, s
+            assert codes.shape[1] == 128 // per, s
+            deq = _dequantize(codes, sf, zp, spec)
+            assert deq.shape == x.shape
+            # quantize is idempotent on its own dequant values
+            codes2, sf2, zp2 = _group_quantize(deq, spec)
+            deq2 = _dequantize(codes2, sf2, zp2, spec)
+            np.testing.assert_allclose(np.asarray(deq2), np.asarray(deq),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_permute_count_is_n_minus_1(self):
+        mesh = seq_mesh()
+        q, k, v = make_qkv(S=256)
+        fn = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh))
+        hlo = fn.lower(q, k, v).compile().as_text()
+        n = hlo.count("collective-permute(")
+        # one fused or two separate (k, v) permutes per hop, 7 hops max
+        assert 0 < n <= 2 * 7, n
