@@ -134,6 +134,71 @@ def main():
         "unit": "x",
     }), flush=True)
 
+    spec_bench(rng)
+
+
+def spec_bench(rng):
+    """Speculative decoding latency (B=1): 8L target + 2L draft, greedy.
+
+    With random-init models the draft disagrees almost always, so this
+    measures the WORST case (accept_rate ~ 0: every round pays draft k+1
+    steps + verify for ~1 token).  Real model pairs see 60-90% acceptance;
+    the interesting numbers here are ms/round and the verify-forward cost
+    vs k single-token steps."""
+    from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+    from quantized_training_tpu.serving.generate import generate
+    from quantized_training_tpu.serving.speculative import (
+        speculative_generate,
+    )
+
+    def cfg(layers):
+        return LlamaConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5504,
+            num_hidden_layers=layers, num_attention_heads=16,
+            num_key_value_heads=16, max_position_embeddings=1024)
+
+    target = LlamaForCausalLM(cfg(8))
+    draft = LlamaForCausalLM(cfg(2))
+    ids = jnp.asarray(rng.integers(0, 32000, (1, 512)))
+    t_vars = jax.jit(target.init)(jax.random.PRNGKey(0), ids)
+    d_vars = jax.jit(draft.init)(jax.random.PRNGKey(1), ids)
+
+    def timed(fn, n, repeats=3):
+        np.asarray(fn(n))  # compile
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(fn(n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 16, 96
+    g = lambda n: generate(target, t_vars, ids, n)
+    t_plain = (timed(g, n2) - timed(g, n1)) / (n2 - n1)
+    # k=4: perfect-draft bound = (t_draft_round + t_verify) / 5 tokens
+    s = lambda n: speculative_generate(target, t_vars, draft, d_vars,
+                                       ids, n, k=4)
+    _, stats = speculative_generate(target, t_vars, draft, d_vars, ids,
+                                    n2, k=4, return_stats=True)
+    t_spec = (timed(s, n2) - timed(s, n1)) / (n2 - n1)
+    print(json.dumps({
+        "metric": "b1_decode_plain_ms_per_tok",
+        "value": round(t_plain * 1e3, 3), "unit": "ms/tok"}), flush=True)
+    print(json.dumps({
+        "metric": "b1_decode_speculative_ms_per_tok",
+        "value": round(t_spec * 1e3, 3), "unit": "ms/tok",
+        "accept_rate": round(stats["accept_rate"], 3),
+        "note": "random-init draft: worst-case acceptance"}), flush=True)
+    # full-acceptance projection from the measured round time: a real draft
+    # at accept_rate a emits 1 + a*k tokens for the same round cost
+    tokens_per_round = (n2 - 1) / max(int(stats["rounds"]), 1)
+    t_round = t_spec * tokens_per_round
+    print(json.dumps({
+        "metric": "b1_decode_speculative_best_case_ms_per_tok",
+        "value": round(t_round / (4 + 1) * 1e3, 3), "unit": "ms/tok",
+        "note": "measured round time / (k+1); reached at accept_rate=1",
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -12,8 +12,10 @@ from .kv_cache import (
     unpack_codes,
 )
 from .generate import generate, fast_argmax
+from .speculative import speculative_generate
 
 __all__ = [
+    "speculative_generate",
     "KVCacheConfig",
     "QuantizedKVCache",
     "init_cache",

@@ -1,0 +1,164 @@
+"""Speculative decoding: a small draft model proposes k tokens per round and
+the target model verifies them in ONE batched forward.
+
+Serving extension beyond the reference (its generate is strictly one
+target-forward per token, reference llm_utils.py:43-112); with greedy
+sampling the accept rule below is *lossless* — the emitted stream is
+token-for-token identical to decoding with the target alone (tested), the
+rounds just amortize 1..k+1 tokens per target dispatch.  On accelerators
+where decode is weight-bandwidth- or dispatch-bound, wall-clock improves by
+roughly the mean accepted length.
+
+Round structure (everything inside one jitted ``lax.while_loop``; fixed
+shapes throughout):
+
+1. draft phase: k+1 single-token steps through the draft cache collect
+   proposals d_1..d_k (the extra step writes d_k's K/V so the draft cache
+   always holds exactly the tokens fed so far — no stale entries ever).
+2. verify: the target consumes ``[t_last, d_1..d_k]`` at its current length
+   p; ``target_next[i] = argmax(logits[i])`` for i = 0..k.
+3. accept: m = longest prefix with d_{i+1} == target_next[i].  Because an
+   accepted d equals the target's own choice, the emitted block is simply
+   ``target_next[0..m]`` — m+1 tokens of pure target-greedy output.
+4. rewind-by-index: both caches are full-precision rings indexed by length
+   (models/llama.py fp path), so rejected suffix entries need no cleanup —
+   the next round's writes start at the new length and overwrite them, and
+   the causal mask never exposes slots beyond the current length.
+
+The full-precision cache is required on both models: the KIVI quantized
+cache promotes residual tokens into group-quantized storage, which is not
+invertible, so rejected tokens could not be rolled back (gating promotion
+on acceptance is future work).
+
+Batch is restricted to B == 1: rows accept different prefix lengths, which
+would need per-row cache indices (a serial-scatter trap under SPMD).
+Speculative decoding is a latency technique; throughput batching is the
+continuous-batching engine's job.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .generate import fast_argmax
+
+__all__ = ["speculative_generate"]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _decode_all(target_model, draft_model, S, max_new_tokens, k,
+                t_vars, d_vars, cache_t, cache_d, t_last):
+    """The full speculative loop as one device program.  Module-level with
+    the (hashable linen) models static, so repeated generate calls with the
+    same models hit the jit cache instead of retracing."""
+    B = t_last.shape[0]
+    buf_len = max_new_tokens + k + 1    # rounds may overshoot; sliced below
+    n_steps = k + 1
+
+    buffer = jnp.zeros((B, buf_len), jnp.int32)
+    buffer = buffer.at[:, 0].set(t_last)
+
+    def draft_phase(cache_d, tok, ld):
+        def body(carry, j):
+            cache_d, tok = carry
+            logits, upd = draft_model.apply(
+                {**d_vars, "cache": cache_d}, tok[:, None],
+                use_cache=True, cache_index=ld + j, mutable=["cache"])
+            nxt = fast_argmax(logits[:, -1]).astype(jnp.int32)
+            return (upd["cache"], nxt), nxt
+
+        (cache_d, _), outs = jax.lax.scan(
+            body, (cache_d, tok), jnp.arange(n_steps))
+        # outs: (k+1, B); proposals are the first k (the final step only
+        # exists to write d_k's K/V into the draft cache)
+        return cache_d, jnp.moveaxis(outs[:k], 0, 1)        # (B, k)
+
+    def round_body(state):
+        cache_t, cache_d, t_last, count, rounds, accepted, buf = state
+        p = S + count - 1      # target cache holds tokens 0..p-1
+        cache_d, d = draft_phase(cache_d, t_last, p)
+        verify_in = jnp.concatenate([t_last[:, None], d], axis=1)
+        logits, upd = target_model.apply(
+            {**t_vars, "cache": cache_t}, verify_in,
+            use_cache=True, cache_index=p, mutable=["cache"])
+        cache_t = upd["cache"]
+        target_next = fast_argmax(logits).astype(jnp.int32)  # (B, k+1)
+        eq = (d == target_next[:, :k]).astype(jnp.int32)
+        m = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)         # (B,)
+        # emitted block: target_next[0..m] — accepted drafts equal the
+        # target's own picks, so the whole block is target output.
+        # The garbage tail past m is overwritten by the next round's
+        # block (which starts at the new count) or sliced off at the end.
+        buf = jax.lax.dynamic_update_slice(buf, target_next, (0, count))
+        t_last = jnp.take_along_axis(
+            target_next, m[:, None], axis=1)[:, 0]
+        return (cache_t, cache_d, t_last, count + m[0] + 1,
+                rounds + 1, accepted + m[0], buf)
+
+    state0 = (cache_t, cache_d, t_last, jnp.int32(1), jnp.int32(0),
+              jnp.int32(0), buffer)
+    final = jax.lax.while_loop(
+        lambda s: s[3] < max_new_tokens, round_body, state0)
+    _, _, _, count, rounds, accepted, buffer = final
+    return buffer[:, :max_new_tokens], rounds, accepted
+
+
+def speculative_generate(
+    target_model,
+    target_variables,
+    draft_model,
+    draft_variables,
+    input_ids: jax.Array,
+    max_new_tokens: int,
+    *,
+    k: int = 4,
+    eos_token_id: Optional[int] = None,
+    return_stats: bool = False,
+):
+    """Greedy speculative decoding; returns (1, S + max_new_tokens) tokens.
+
+    ``target_model``/``draft_model`` must share the tokenizer (vocab) and use
+    the full-precision cache (``config.kv_cache is None``).  With
+    ``return_stats`` also returns {"rounds": n, "accept_rate": mean m / k}.
+    """
+    B, S = input_ids.shape
+    assert B == 1, "speculative decoding is a latency path: B must be 1"
+    assert getattr(target_model.config, "kv_cache", None) is None, (
+        "speculative decoding needs the full-precision cache (rewind)")
+    assert getattr(draft_model.config, "kv_cache", None) is None
+    max_pos = min(target_model.config.max_position_embeddings,
+                  draft_model.config.max_position_embeddings)
+    assert S + max_new_tokens + k + 1 <= max_pos, (S, max_new_tokens, k)
+    assert max_new_tokens >= 1 and k >= 1
+
+    t_vars = {key: v for key, v in target_variables.items() if key != "cache"}
+    d_vars = {key: v for key, v in draft_variables.items() if key != "cache"}
+
+    # Prefill both caches over the prompt.
+    logits_t, upd_t = target_model.apply(
+        target_variables, input_ids, use_cache=True, cache_index=0,
+        mutable=["cache"])
+    _, upd_d = draft_model.apply(
+        draft_variables, input_ids, use_cache=True, cache_index=0,
+        mutable=["cache"])
+    t_last0 = fast_argmax(logits_t[:, -1]).astype(jnp.int32)    # (B,)
+
+    out, rounds, accepted = _decode_all(
+        target_model, draft_model, S, max_new_tokens, k,
+        t_vars, d_vars, upd_t["cache"], upd_d["cache"], t_last0)
+    full = jnp.concatenate([input_ids, out], axis=1)
+    if eos_token_id is not None:
+        gen = full[:, S:]
+        is_eos = gen == eos_token_id
+        seen = jnp.cumsum(is_eos.astype(jnp.int32), axis=1)
+        keep = seen - is_eos.astype(jnp.int32) == 0
+        gen = jnp.where(keep, gen, eos_token_id)
+        full = jnp.concatenate([full[:, :S], gen], axis=1)
+    if return_stats:
+        r = int(rounds)
+        stats = {"rounds": r,
+                 "accept_rate": float(accepted) / max(r * k, 1)}
+        return full, stats
+    return full
