@@ -15,8 +15,16 @@ from .sharding import (
     shard_pytree,
     batch_sharding,
 )
+from .grad_compress import (
+    compressed_allreduce_mean,
+    compressed_grad_sync,
+    init_error_state,
+)
 
 __all__ = [
+    "compressed_allreduce_mean",
+    "compressed_grad_sync",
+    "init_error_state",
     "create_mesh",
     "local_mesh",
     "initialize_multihost",
