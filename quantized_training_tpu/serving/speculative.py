@@ -42,9 +42,111 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .generate import fast_argmax
+from .generate import fast_argmax, _sample
 
 __all__ = ["speculative_generate"]
+
+
+def _spec_accept(p_logits, q_logits, x, key, temperature):
+    """Rejection-sampling accept rule for ONE position (the Leviathan/Chen
+    construction): the draft proposed ``x ~ softmax(q/T)``; accept with
+    probability min(1, p(x)/q(x)), else resample from the normalized
+    residual max(0, p - q).  The emitted marginal is exactly softmax(p/T)
+    (unit-tested by Monte Carlo enumeration in test_speculative.py).
+
+    p_logits/q_logits: (B, V); x: (B,).  Returns (accept (B,), repl (B,)).
+    """
+    lp = jax.nn.log_softmax(p_logits / temperature, axis=-1)
+    lq = jax.nn.log_softmax(q_logits / temperature, axis=-1)
+    k_u, k_r = jax.random.split(key)
+    lpx = jnp.take_along_axis(lp, x[:, None], axis=1)[:, 0]
+    lqx = jnp.take_along_axis(lq, x[:, None], axis=1)[:, 0]
+    u = jax.random.uniform(k_u, x.shape)
+    accept = jnp.log(u) < lpx - lqx
+    resid = jnp.maximum(jnp.exp(lp) - jnp.exp(lq), 0.0)
+    norm = jnp.sum(resid, axis=-1, keepdims=True)
+    # residual vanishes only when p <= q everywhere, i.e. p == q (both sum
+    # to 1) — then sampling from p is the correct conditional anyway
+    probs = jnp.where(norm > 0, resid / jnp.maximum(norm, 1e-30),
+                      jnp.exp(lp))
+    repl = jax.random.categorical(
+        k_r, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
+    return accept, repl.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _decode_all_sampled(target_model, draft_model, S, max_new_tokens, k,
+                        temperature, t_vars, d_vars, cache_t, cache_d,
+                        t_last, rng):
+    """Sampling-mode speculative loop: same round structure as the greedy
+    `_decode_all`, but draft proposals are sampled from softmax(q/T) and
+    verified with the lossless rejection rule — the emitted stream is
+    distributed exactly as target-only sampling at temperature T."""
+    B = t_last.shape[0]
+    buf_len = max_new_tokens + k + 1
+    n_steps = k + 1
+
+    buffer = jnp.zeros((B, buf_len), jnp.int32)
+    buffer = buffer.at[:, 0].set(t_last)
+
+    def draft_phase(cache_d, tok, ld, rng):
+        def body(carry, j):
+            cache_d, tok, rng = carry
+            logits, upd = draft_model.apply(
+                {**d_vars, "cache": cache_d}, tok[:, None],
+                use_cache=True, cache_index=ld + j, mutable=["cache"])
+            rng, kstep = jax.random.split(rng)
+            nxt = jax.random.categorical(
+                kstep, logits[:, -1] / temperature, axis=-1
+            ).astype(jnp.int32)
+            return (upd["cache"], nxt, rng), (nxt, logits[:, -1])
+
+        (cache_d, _, rng), (toks, qlogits) = jax.lax.scan(
+            body, (cache_d, tok, rng), jnp.arange(n_steps))
+        # proposals d_1..d_k and the q-logits that generated them
+        return cache_d, jnp.moveaxis(toks[:k], 0, 1), qlogits[:k], rng
+
+    def round_body(state):
+        cache_t, cache_d, t_last, count, rounds, accepted, buf, rng = state
+        p = S + count - 1
+        cache_d, d, qlog, rng = draft_phase(cache_d, t_last, p, rng)
+        verify_in = jnp.concatenate([t_last[:, None], d], axis=1)
+        logits, upd = target_model.apply(
+            {**t_vars, "cache": cache_t}, verify_in,
+            use_cache=True, cache_index=p, mutable=["cache"])
+        cache_t = upd["cache"]
+
+        rng, kacc, kfin = jax.random.split(rng, 3)
+        keys = jax.random.split(kacc, k)
+        # vmap the accept rule over the k proposal positions
+        acc, repl = jax.vmap(
+            lambda pl, ql, x, key: _spec_accept(pl, ql, x, key, temperature),
+            in_axes=(1, 0, 1, 0), out_axes=(1, 1),
+        )(logits[:, :k], qlog, d, keys)
+        m = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+
+        # token emitted at slot m: residual resample if a proposal was
+        # rejected, else a fresh sample from the target's k-th position
+        t_k = jax.random.categorical(
+            kfin, logits[:, k] / temperature, axis=-1).astype(jnp.int32)
+        repl_m = jnp.take_along_axis(
+            repl, jnp.minimum(m, k - 1)[:, None], axis=1)[:, 0]
+        final_tok = jnp.where(m < k, repl_m, t_k)
+
+        iota = jnp.arange(k + 1)[None, :]
+        emit = jnp.where(iota < m[:, None], jnp.pad(d, ((0, 0), (0, 1))),
+                         final_tok[:, None])
+        buf = jax.lax.dynamic_update_slice(buf, emit, (0, count))
+        t_last = jnp.take_along_axis(emit, m[:, None], axis=1)[:, 0]
+        return (cache_t, cache_d, t_last, count + m[0] + 1,
+                rounds + 1, accepted + m[0], buf, rng)
+
+    state0 = (cache_t, cache_d, t_last, jnp.int32(1), jnp.int32(0),
+              jnp.int32(0), buffer, rng)
+    final = jax.lax.while_loop(
+        lambda s: s[3] < max_new_tokens, round_body, state0)
+    _, _, _, count, rounds, accepted, buffer, _ = final
+    return buffer[:, :max_new_tokens], rounds, accepted
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
@@ -114,10 +216,18 @@ def speculative_generate(
     max_new_tokens: int,
     *,
     k: int = 4,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
     eos_token_id: Optional[int] = None,
     return_stats: bool = False,
 ):
-    """Greedy speculative decoding; returns (1, S + max_new_tokens) tokens.
+    """Speculative decoding; returns (1, S + max_new_tokens) tokens.
+
+    ``temperature == 0``: greedy — output token-identical to target-only
+    greedy decoding.  ``temperature > 0``: rejection-sampling acceptance —
+    the output is *distributed* exactly as target-only sampling at that
+    temperature (the greedy guarantee's stochastic counterpart); top-k
+    filtering is not supported in speculative mode.
 
     ``target_model``/``draft_model`` must share the tokenizer (vocab) and use
     the full-precision cache (``config.kv_cache is None``).  With
@@ -143,11 +253,22 @@ def speculative_generate(
     _, upd_d = draft_model.apply(
         draft_variables, input_ids, use_cache=True, cache_index=0,
         mutable=["cache"])
-    t_last0 = fast_argmax(logits_t[:, -1]).astype(jnp.int32)    # (B,)
 
-    out, rounds, accepted = _decode_all(
-        target_model, draft_model, S, max_new_tokens, k,
-        t_vars, d_vars, upd_t["cache"], upd_d["cache"], t_last0)
+    if temperature == 0.0:
+        t_last0 = fast_argmax(logits_t[:, -1]).astype(jnp.int32)  # (B,)
+        out, rounds, accepted = _decode_all(
+            target_model, draft_model, S, max_new_tokens, k,
+            t_vars, d_vars, upd_t["cache"], upd_d["cache"], t_last0)
+    else:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng, k0 = jax.random.split(rng)
+        t_last0 = _sample(logits_t[:, -1], k0, temperature,
+                          None).astype(jnp.int32)
+        out, rounds, accepted = _decode_all_sampled(
+            target_model, draft_model, S, max_new_tokens, k,
+            float(temperature), t_vars, d_vars, upd_t["cache"],
+            upd_d["cache"], t_last0, rng)
     full = jnp.concatenate([input_ids, out], axis=1)
     if eos_token_id is not None:
         gen = full[:, S:]

@@ -87,3 +87,57 @@ class TestSpeculativeGenerate:
         with pytest.raises(AssertionError):
             speculative_generate(qmodel, variables, model, variables,
                                  _prompt(), 4)
+
+
+class TestSampledSpeculative:
+    """temperature > 0: the rejection rule must emit exactly softmax(p/T)."""
+
+    def test_accept_rule_marginal_is_target_dist(self):
+        # Monte Carlo over the pure accept rule (no model): propose from q,
+        # accept/resample per _spec_accept; the emitted marginal must match
+        # softmax(p/T) to sampling noise.
+        from quantized_training_tpu.serving.speculative import _spec_accept
+        V, n, T = 8, 200_000, 0.7
+        rng = np.random.default_rng(0)
+        p_logits = jnp.asarray(rng.standard_normal((1, V)) * 2, jnp.float32)
+        q_logits = jnp.asarray(rng.standard_normal((1, V)) * 2, jnp.float32)
+
+        key = jax.random.PRNGKey(1)
+        kx, ka = jax.random.split(key)
+        x = jax.random.categorical(
+            kx, jnp.broadcast_to(q_logits / T, (n, V)), axis=-1
+        ).astype(jnp.int32)                                     # (n,)
+        keys = jax.random.split(ka, n)
+        acc, repl = jax.vmap(
+            lambda xi, ki: _spec_accept(p_logits, q_logits, xi[None], ki, T)
+        )(x, keys)
+        emitted = np.where(np.asarray(acc[:, 0]), np.asarray(x),
+                           np.asarray(repl[:, 0]))
+        emp = np.bincount(emitted, minlength=V) / n
+        want = np.asarray(jax.nn.softmax(p_logits[0] / T))
+        tv = 0.5 * np.abs(emp - want).sum()
+        assert tv < 0.01, (tv, emp, want)
+
+    def test_draft_equals_target_accepts_everything(self, target):
+        model, variables = target
+        ids = _prompt(6)
+        out, stats = speculative_generate(
+            model, variables, model, variables, ids, 15, k=4,
+            temperature=0.8, rng=jax.random.PRNGKey(3), return_stats=True)
+        assert stats["accept_rate"] == 1.0
+        assert out.shape == (1, ids.shape[1] + 15)
+
+    def test_sampled_runs_and_varies_with_rng(self, target, draft):
+        t_model, t_vars = target
+        d_model, d_vars = draft
+        ids = _prompt(8)
+        outs = [
+            np.asarray(speculative_generate(
+                t_model, t_vars, d_model, d_vars, ids, 12, k=3,
+                temperature=1.0, rng=jax.random.PRNGKey(s)))
+            for s in range(3)
+        ]
+        assert any(not np.array_equal(outs[0], o) for o in outs[1:])
+        for o in outs:
+            assert o.shape == (1, ids.shape[1] + 12)
+            assert (o >= 0).all() and (o < 256).all()
