@@ -279,3 +279,40 @@ class TestQConvBn:
         flat = jax.tree_util.tree_leaves(grads)
         assert all(bool(jnp.any(g != 0)) for g in flat)
         assert not np.allclose(np.asarray(bs["mean"]), 0.0)
+
+
+class TestShardedCheckpoint:
+    """orbax save/restore must preserve NamedShardings across the round trip
+    (multi-host resume: the restored state can continue pjit training with
+    no resharding migration)."""
+
+    @pytest.mark.skipif(len(jax.devices("cpu")) < 8,
+                        reason="needs 8 virtual devices")
+    def test_tp_sharded_roundtrip(self, tmp_path):
+        import optax
+        from quantized_training_tpu.models import (
+            LlamaConfig, LlamaForCausalLM,
+        )
+        from quantized_training_tpu.parallel import (
+            apply_sharding_rules, create_mesh, shard_rules_llama,
+        )
+
+        mesh = create_mesh(data=2, model=4, devices=jax.devices("cpu"))
+        model = LlamaForCausalLM(LlamaConfig.tiny(), None)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((2, 8), jnp.int32))
+        shardings = apply_sharding_rules(
+            variables["params"], mesh, shard_rules_llama())
+        params = jax.tree_util.tree_map(
+            jax.device_put, variables["params"], shardings)
+        tx = optax.adamw(1e-4)
+        state = TrainState(params, tx.init(params), {},
+                           jnp.zeros((), jnp.int32))
+
+        path = str(tmp_path / "ck")
+        save_checkpoint(path, state)
+        restored = restore_checkpoint(path, state)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            assert a.sharding == b.sharding
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
