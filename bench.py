@@ -91,6 +91,27 @@ def measure(model, variables, ids, iters=8, repeats=5):
 
 
 def main():
+    # Watchdog: a dead TPU tunnel makes the first device call hang forever
+    # (observed in-round: even jax.devices() blocks, inside a C call — so a
+    # SIGALRM Python handler would never run; a daemon thread still does,
+    # because the RPC wait releases the GIL).  Die loudly with a diagnostic
+    # on stderr instead of hanging the driver; stdout stays clean so no
+    # bogus result line is recorded.
+    import os
+    import threading
+
+    deadline = float(os.environ.get("QT_BENCH_WATCHDOG_S", "1500"))
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(deadline):
+            print(f"bench.py watchdog: no completion after {deadline:.0f}s "
+                  "— TPU tunnel likely down (jax device calls hang)",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     # NOTE: timings require exclusive use of the chip - run nothing else.
     batch, seq = 4, 1024
     rng = np.random.default_rng(0)
@@ -111,6 +132,7 @@ def main():
     print("measuring bf16 baseline...", file=sys.stderr, flush=True)
     f_tps = measure(fmodel, {"params": qvars["params"]}, ids)
 
+    done.set()
     print(json.dumps({
         "metric": "llama2s_posit8_forward_tokens_per_s",
         "value": round(q_tps, 1),

@@ -170,8 +170,11 @@ def affine_matmul(
 
     if block_m is None or block_n is None or block_k is None:
         from .autotune import storage_matmul_blocks
-        picked = storage_matmul_blocks(M, kp, N, code_bytes=1,
-                                       scale_block=group_size)
+        # x operand is (per, M, kp): per activation planes per K step; the
+        # two f32 qparam tiles add 8*per/G bytes per packed-code byte
+        picked = storage_matmul_blocks(
+            M, kp, N, code_bytes=1, scale_block=group_size, x_factor=per,
+            scale_bytes_per_code=8.0 * per / group_size)
         if picked is not None:
             bm, bk, bn = picked
             block_m = block_m or bm

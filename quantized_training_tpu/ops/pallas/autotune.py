@@ -97,10 +97,16 @@ def _divisors_desc(n: int, multiple: int, cap: int):
     return sorted(set(out), reverse=True)
 
 
-def storage_matmul_blocks(m: int, k: int, n: int, *, code_bytes: int = 1,
-                          scale_block: int = 64):
+def storage_matmul_blocks(m: int, k: int, n: int, *, code_bytes: float = 1,
+                          scale_block: int = 64, x_factor: int = 1,
+                          scale_bytes_per_code: float = 0.0):
     """(block_m, block_k, block_n) for the weight-storage matmul kernels
     (mx/posit codes streamed from HBM, converted in VMEM).
+
+    ``x_factor``: how many activation planes ride along per K-grid step
+    (the plane-packed affine kernel passes per = 8/nbits — its x operand is
+    (per, M, K/per)).  ``scale_bytes_per_code``: extra streamed qparam bytes
+    per code byte (the affine kernel's f32 scale+zp tiles).
 
     At decode shapes the GEMM is weight-bandwidth-bound, so the goal is the
     widest N tile that fits (one pass over x and the scales; weights stream
@@ -123,8 +129,8 @@ def storage_matmul_blocks(m: int, k: int, n: int, *, code_bytes: int = 1,
         # the converted-weights intermediate is not counted: Mosaic folds the
         # convert+scale into the dot operand read (validated by on-chip runs
         # of (128, 512, 5504) tiles, whose naive footprint would not fit)
-        x_tiles = 2 * bm * bk * 2
-        code_tiles = 2 * bk * bn * code_bytes
+        x_tiles = 2 * bm * bk * 2 * x_factor
+        code_tiles = 2 * bk * bn * (code_bytes + scale_bytes_per_code)
         acc = bm * bn * 4 + bm * bn * 2
         return x_tiles + code_tiles + acc <= VMEM_BUDGET
 

@@ -75,15 +75,20 @@ def _spec_accept(p_logits, q_logits, x, key, temperature):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _decode_all_sampled(target_model, draft_model, S, max_new_tokens, k,
-                        temperature, t_vars, d_vars, cache_t, cache_d,
-                        t_last, rng):
-    """Sampling-mode speculative loop: same round structure as the greedy
-    `_decode_all`, but draft proposals are sampled from softmax(q/T) and
-    verified with the lossless rejection rule — the emitted stream is
-    distributed exactly as target-only sampling at temperature T."""
+def _decode_all(target_model, draft_model, S, max_new_tokens, k,
+                temperature, t_vars, d_vars, cache_t, cache_d, t_last, rng):
+    """The full speculative loop as one device program.  Module-level with
+    the (hashable linen) models and scalars static, so repeated generate
+    calls with the same models hit the jit cache instead of retracing.
+
+    ``temperature`` is static: 0.0 traces the greedy propose/accept steps
+    (argmax match — token-exact vs target-only), any other value traces the
+    rejection-sampling steps (exact-distribution); the round skeleton —
+    draft scan, verify forward, emit/rewind/count bookkeeping — is shared.
+    """
+    greedy = temperature == 0.0
     B = t_last.shape[0]
-    buf_len = max_new_tokens + k + 1
+    buf_len = max_new_tokens + k + 1    # rounds may overshoot; sliced below
     n_steps = k + 1
 
     buffer = jnp.zeros((B, buf_len), jnp.int32)
@@ -95,47 +100,63 @@ def _decode_all_sampled(target_model, draft_model, S, max_new_tokens, k,
             logits, upd = draft_model.apply(
                 {**d_vars, "cache": cache_d}, tok[:, None],
                 use_cache=True, cache_index=ld + j, mutable=["cache"])
-            rng, kstep = jax.random.split(rng)
-            nxt = jax.random.categorical(
-                kstep, logits[:, -1] / temperature, axis=-1
-            ).astype(jnp.int32)
-            return (upd["cache"], nxt, rng), (nxt, logits[:, -1])
+            if greedy:
+                nxt = fast_argmax(logits[:, -1]).astype(jnp.int32)
+            else:
+                rng, kstep = jax.random.split(rng)
+                nxt = jax.random.categorical(
+                    kstep, logits[:, -1] / temperature, axis=-1
+                ).astype(jnp.int32)
+            out = nxt if greedy else (nxt, logits[:, -1])
+            return (upd["cache"], nxt, rng), out
 
-        (cache_d, _, rng), (toks, qlogits) = jax.lax.scan(
+        # the (k+1)-th step only exists to write d_k's K/V into the draft
+        # cache, so the cache always holds exactly the tokens fed so far
+        (cache_d, _, rng), outs = jax.lax.scan(
             body, (cache_d, tok, rng), jnp.arange(n_steps))
-        # proposals d_1..d_k and the q-logits that generated them
-        return cache_d, jnp.moveaxis(toks[:k], 0, 1), qlogits[:k], rng
+        toks = outs if greedy else outs[0]
+        qlog = None if greedy else outs[1][:k]     # q-logits per proposal
+        return cache_d, jnp.moveaxis(toks[:k], 0, 1), qlog, rng
+
+    def accept_and_emit(logits, d, qlog, rng):
+        """Returns (m, emit (B, k+1), rng): accepted count and the emitted
+        block (garbage past slot m — overwritten or sliced later)."""
+        if greedy:
+            target_next = fast_argmax(logits).astype(jnp.int32)  # (B, k+1)
+            eq = (d == target_next[:, :k]).astype(jnp.int32)
+            m = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
+            # accepted drafts equal the target's own picks, so the whole
+            # emitted block is just target_next[0..m]
+            return m, target_next, rng
+        rng, kacc, kfin = jax.random.split(rng, 3)
+        keys = jax.random.split(kacc, k)
+        acc, repl = jax.vmap(
+            lambda pl, ql, x, key: _spec_accept(pl, ql, x, key, temperature),
+            in_axes=(1, 0, 1, 0), out_axes=(1, 1),
+        )(logits[:, :k], qlog, d, keys)
+        m = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+        # token at slot m: residual resample if a proposal was rejected,
+        # else a fresh sample from the target's k-th position
+        t_k = jax.random.categorical(
+            kfin, logits[:, k] / temperature, axis=-1).astype(jnp.int32)
+        repl_m = jnp.take_along_axis(
+            repl, jnp.minimum(m, k - 1)[:, None], axis=1)[:, 0]
+        final_tok = jnp.where(m < k, repl_m, t_k)
+        iota = jnp.arange(k + 1)[None, :]
+        emit = jnp.where(iota < m[:, None], jnp.pad(d, ((0, 0), (0, 1))),
+                         final_tok[:, None])
+        return m, emit, rng
 
     def round_body(state):
         cache_t, cache_d, t_last, count, rounds, accepted, buf, rng = state
-        p = S + count - 1
+        p = S + count - 1      # target cache holds tokens 0..p-1
         cache_d, d, qlog, rng = draft_phase(cache_d, t_last, p, rng)
         verify_in = jnp.concatenate([t_last[:, None], d], axis=1)
         logits, upd = target_model.apply(
             {**t_vars, "cache": cache_t}, verify_in,
             use_cache=True, cache_index=p, mutable=["cache"])
         cache_t = upd["cache"]
-
-        rng, kacc, kfin = jax.random.split(rng, 3)
-        keys = jax.random.split(kacc, k)
-        # vmap the accept rule over the k proposal positions
-        acc, repl = jax.vmap(
-            lambda pl, ql, x, key: _spec_accept(pl, ql, x, key, temperature),
-            in_axes=(1, 0, 1, 0), out_axes=(1, 1),
-        )(logits[:, :k], qlog, d, keys)
-        m = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
-
-        # token emitted at slot m: residual resample if a proposal was
-        # rejected, else a fresh sample from the target's k-th position
-        t_k = jax.random.categorical(
-            kfin, logits[:, k] / temperature, axis=-1).astype(jnp.int32)
-        repl_m = jnp.take_along_axis(
-            repl, jnp.minimum(m, k - 1)[:, None], axis=1)[:, 0]
-        final_tok = jnp.where(m < k, repl_m, t_k)
-
-        iota = jnp.arange(k + 1)[None, :]
-        emit = jnp.where(iota < m[:, None], jnp.pad(d, ((0, 0), (0, 1))),
-                         final_tok[:, None])
+        m, emit, rng = accept_and_emit(logits, d, qlog, rng)
         buf = jax.lax.dynamic_update_slice(buf, emit, (0, count))
         t_last = jnp.take_along_axis(emit, m[:, None], axis=1)[:, 0]
         return (cache_t, cache_d, t_last, count + m[0] + 1,
@@ -146,64 +167,6 @@ def _decode_all_sampled(target_model, draft_model, S, max_new_tokens, k,
     final = jax.lax.while_loop(
         lambda s: s[3] < max_new_tokens, round_body, state0)
     _, _, _, count, rounds, accepted, buffer, _ = final
-    return buffer[:, :max_new_tokens], rounds, accepted
-
-
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _decode_all(target_model, draft_model, S, max_new_tokens, k,
-                t_vars, d_vars, cache_t, cache_d, t_last):
-    """The full speculative loop as one device program.  Module-level with
-    the (hashable linen) models static, so repeated generate calls with the
-    same models hit the jit cache instead of retracing."""
-    B = t_last.shape[0]
-    buf_len = max_new_tokens + k + 1    # rounds may overshoot; sliced below
-    n_steps = k + 1
-
-    buffer = jnp.zeros((B, buf_len), jnp.int32)
-    buffer = buffer.at[:, 0].set(t_last)
-
-    def draft_phase(cache_d, tok, ld):
-        def body(carry, j):
-            cache_d, tok = carry
-            logits, upd = draft_model.apply(
-                {**d_vars, "cache": cache_d}, tok[:, None],
-                use_cache=True, cache_index=ld + j, mutable=["cache"])
-            nxt = fast_argmax(logits[:, -1]).astype(jnp.int32)
-            return (upd["cache"], nxt), nxt
-
-        (cache_d, _), outs = jax.lax.scan(
-            body, (cache_d, tok), jnp.arange(n_steps))
-        # outs: (k+1, B); proposals are the first k (the final step only
-        # exists to write d_k's K/V into the draft cache)
-        return cache_d, jnp.moveaxis(outs[:k], 0, 1)        # (B, k)
-
-    def round_body(state):
-        cache_t, cache_d, t_last, count, rounds, accepted, buf = state
-        p = S + count - 1      # target cache holds tokens 0..p-1
-        cache_d, d = draft_phase(cache_d, t_last, p)
-        verify_in = jnp.concatenate([t_last[:, None], d], axis=1)
-        logits, upd = target_model.apply(
-            {**t_vars, "cache": cache_t}, verify_in,
-            use_cache=True, cache_index=p, mutable=["cache"])
-        cache_t = upd["cache"]
-        target_next = fast_argmax(logits).astype(jnp.int32)  # (B, k+1)
-        eq = (d == target_next[:, :k]).astype(jnp.int32)
-        m = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)         # (B,)
-        # emitted block: target_next[0..m] — accepted drafts equal the
-        # target's own picks, so the whole block is target output.
-        # The garbage tail past m is overwritten by the next round's
-        # block (which starts at the new count) or sliced off at the end.
-        buf = jax.lax.dynamic_update_slice(buf, target_next, (0, count))
-        t_last = jnp.take_along_axis(
-            target_next, m[:, None], axis=1)[:, 0]
-        return (cache_t, cache_d, t_last, count + m[0] + 1,
-                rounds + 1, accepted + m[0], buf)
-
-    state0 = (cache_t, cache_d, t_last, jnp.int32(1), jnp.int32(0),
-              jnp.int32(0), buffer)
-    final = jax.lax.while_loop(
-        lambda s: s[3] < max_new_tokens, round_body, state0)
-    _, _, _, count, rounds, accepted, buffer = final
     return buffer[:, :max_new_tokens], rounds, accepted
 
 
@@ -254,21 +217,17 @@ def speculative_generate(
         draft_variables, input_ids, use_cache=True, cache_index=0,
         mutable=["cache"])
 
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     if temperature == 0.0:
         t_last0 = fast_argmax(logits_t[:, -1]).astype(jnp.int32)  # (B,)
-        out, rounds, accepted = _decode_all(
-            target_model, draft_model, S, max_new_tokens, k,
-            t_vars, d_vars, upd_t["cache"], upd_d["cache"], t_last0)
     else:
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
         rng, k0 = jax.random.split(rng)
         t_last0 = _sample(logits_t[:, -1], k0, temperature,
                           None).astype(jnp.int32)
-        out, rounds, accepted = _decode_all_sampled(
-            target_model, draft_model, S, max_new_tokens, k,
-            float(temperature), t_vars, d_vars, upd_t["cache"],
-            upd_d["cache"], t_last0, rng)
+    out, rounds, accepted = _decode_all(
+        target_model, draft_model, S, max_new_tokens, k, float(temperature),
+        t_vars, d_vars, upd_t["cache"], upd_d["cache"], t_last0, rng)
     full = jnp.concatenate([input_ids, out], axis=1)
     if eos_token_id is not None:
         gen = full[:, S:]
