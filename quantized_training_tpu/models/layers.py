@@ -273,6 +273,23 @@ class QDense(nn.Module, QuantMixin):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self._qconfig()
+        if (cfg is not None and cfg.storage_fmt is not None
+                and self.has_variable("storage", "codes")):
+            # Deployed weight storage (quantize/storage.py): the kernel was
+            # packed offline and removed from params; the storage matmul
+            # dequantizes codes in VMEM, bit-equal to the corresponding
+            # weight fake-quant.  No kernel param is declared at all.
+            if not self.skip_input_quant:
+                x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
+            y = self._storage_matmul(x, cfg.storage_fmt, cfg.storage_group)
+            if self.use_bias:
+                bias = self.param(
+                    "bias", self.bias_init, (self.features,),
+                    self.param_dtype)
+                y = y + self._maybe_quant_bias(bias).astype(self.dtype)
+            return y
+
         kernel = self.param(
             "kernel", self.kernel_init, (x.shape[-1], self.features),
             self.param_dtype,
@@ -280,8 +297,6 @@ class QDense(nn.Module, QuantMixin):
         kernel = kernel.astype(self.dtype)
         if not self.skip_input_quant:
             x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
-
-        cfg = self._qconfig()
         if cfg is not None and cfg.lora_matches(self._path_str):
             # QAT LoRA (reference modules/qat/lora.py:34-55): fake-quantize
             # A and B, then the merged weight, every step.
@@ -309,6 +324,28 @@ class QDense(nn.Module, QuantMixin):
             bias = self._maybe_quant_bias(bias)
             y = y + bias.astype(self.dtype)
         return y
+
+    def _storage_matmul(self, x: jax.Array, fmt: str,
+                        group: int) -> jax.Array:
+        """x @ dequant(packed codes) via the weight-storage kernels."""
+        lead = x.shape[:-1]
+        x2 = x.astype(self.dtype).reshape(-1, x.shape[-1])
+        codes = self.get_variable("storage", "codes")
+        if fmt == "posit8":
+            from ..ops.pallas.posit_storage import posit_matmul
+            y = posit_matmul(x2, codes)
+        elif fmt == "mx8":
+            from ..ops.pallas.mx_storage import mx_matmul
+            scales = self.get_variable("storage", "scales")
+            y = mx_matmul(x2, codes, scales, block_size=group)
+        else:
+            from ..ops.pallas.affine_storage import affine_matmul
+            nbits = 4 if fmt == "w4a16" else 2
+            sf = self.get_variable("storage", "scales")
+            zp = self.get_variable("storage", "zero_points")
+            y = affine_matmul(x2, codes, sf, zp, nbits=nbits,
+                              group_size=group)
+        return y.astype(self.dtype).reshape(*lead, self.features)
 
     def _maybe_quant_bias(self, bias: jax.Array) -> jax.Array:
         """Derived-scale bias quantization: scale = act_scale * weight_scale

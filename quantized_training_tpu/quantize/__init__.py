@@ -21,6 +21,7 @@ from .ops import (
     to_csr,
 )
 from .fold import fold_quantized_weights, strip_weight_specs
+from .storage import build_storage, STORAGE_FORMATS
 from .config import (
     OpCategory,
     QConfig,
@@ -53,4 +54,6 @@ __all__ = [
     "parse_op_categories",
     "fold_quantized_weights",
     "strip_weight_specs",
+    "build_storage",
+    "STORAGE_FORMATS",
 ]

@@ -156,6 +156,14 @@ class QuantConfig:
     posit_exp: bool = False
     posit_exp_shifted: bool = False
     posit_reciprocal: bool = False
+    # Deployed weight storage (serving): when set, QDense layers read packed
+    # codes from the "storage" collection (built offline by
+    # quantize/storage.py) instead of a bf16 kernel param — the weight bytes
+    # streamed per step drop by the format's ratio and the in-kernel decode
+    # matches the corresponding weight fake-quant exactly.  One of
+    # {"posit8", "mx8", "w4a16", "w2a16"}.
+    storage_fmt: Optional[str] = None
+    storage_group: int = 64
 
     # ---- builder API (mirrors set_global / set_module_name / ...) ----
     def set_global(self, qconfig: QConfig) -> "QuantConfig":
@@ -198,6 +206,12 @@ class QuantConfig:
 
     def with_histograms(self, on: bool = True) -> "QuantConfig":
         return replace(self, record_histogram=on)
+
+    def with_storage(self, fmt: Optional[str],
+                     group: int = 64) -> "QuantConfig":
+        """Serve with packed weight storage (see quantize/storage.py)."""
+        assert fmt in (None, "posit8", "mx8", "w4a16", "w2a16"), fmt
+        return replace(self, storage_fmt=fmt, storage_group=group)
 
     def with_posit_softmax(self, exp: bool = False, exp_shifted: bool = False,
                            reciprocal: bool = False) -> "QuantConfig":
