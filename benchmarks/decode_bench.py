@@ -134,7 +134,32 @@ def main():
         "unit": "x",
     }), flush=True)
 
+    storage_decode_bench(rng, results["fp"])
     spec_bench(rng)
+
+
+def storage_decode_bench(rng, fp_ms):
+    """Decode with deployed storage weights (fp cache): weight streaming is
+    the B8 decode bottleneck, so packed kernels should approach the storage
+    kernels' standalone byte-ratio wins end-to-end."""
+    from quantized_training_tpu.quantize import QuantConfig, build_storage
+
+    for fmt, group in (("mx8", 64), ("w4a16", 64)):
+        model, cfg = build("fp")
+        st_model = type(model)(cfg, QuantConfig().with_storage(fmt, group))
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 512)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+        storage, slim = build_storage(variables["params"], fmt, group)
+        svars = {"params": slim, "storage": storage}
+        print(f"storage {fmt}: timing...", file=sys.stderr, flush=True)
+        t1 = time_decode(st_model, svars, ids, 8)
+        t2 = time_decode(st_model, svars, ids, 160)
+        ms = (t2 - t1) / 152 * 1e3
+        print(json.dumps({
+            "metric": f"llama2s_decode_storage_{fmt}_ms_per_step",
+            "value": round(ms, 3), "unit": "ms/step",
+            "vs_bf16_weights": round(fp_ms / ms, 3),
+        }), flush=True)
 
 
 def spec_bench(rng):

@@ -132,3 +132,53 @@ class TestBuildStorage:
         storage, slim = build_storage(params, "w4a16", 64)
         assert "kernel" in slim["layer"]
         assert storage == {}
+
+    def test_storage_composes_with_kivi_cache(self, base):
+        # the full serving memory story: packed weights + quantized KV cache
+        from quantized_training_tpu.serving.kv_cache import KVCacheConfig
+        cfg, variables, _ = base
+        kcfg = KVCacheConfig.kivi(
+            max_prefill=16, max_decode=8,
+            k_spec="uint2,qs=group_wise_affine,bs=8,ax=-2",
+            v_spec="uint2,qs=group_wise_affine,bs=8,ax=-1", pack=True)
+        from dataclasses import replace
+        scfg = replace(cfg, kv_cache=kcfg)
+
+        storage, slim = build_storage(variables["params"], "posit8", 64)
+        qc_ref = QuantConfig(
+            global_qconfig=QConfig.from_strs(weight="posit8_1"))
+        folded = fold_quantized_weights(variables["params"], qc_ref)
+
+        rng = np.random.default_rng(7)
+        prompt = jnp.asarray(rng.integers(0, 256, (1, 12)), jnp.int32)
+        ref = generate(LlamaForCausalLM(scfg, None), {"params": folded},
+                       prompt, 6)
+        out = generate(
+            LlamaForCausalLM(scfg, QuantConfig().with_storage("posit8", 64)),
+            {"params": slim, "storage": storage}, prompt, 6)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_storage_composes_with_speculative(self, base):
+        from quantized_training_tpu.serving import speculative_generate
+        cfg, variables, _ = base
+        storage, slim = build_storage(variables["params"], "posit8", 64)
+        qc_ref = QuantConfig(
+            global_qconfig=QConfig.from_strs(weight="posit8_1"))
+        folded = fold_quantized_weights(variables["params"], qc_ref)
+
+        dcfg = LlamaConfig.tiny(hidden_size=256, intermediate_size=512,
+                                num_hidden_layers=1)
+        draft = LlamaForCausalLM(dcfg, None)
+        d_vars = jax.jit(draft.init)(
+            jax.random.PRNGKey(3), jnp.zeros((1, 8), jnp.int32))
+
+        rng = np.random.default_rng(8)
+        prompt = jnp.asarray(rng.integers(0, 256, (1, 10)), jnp.int32)
+        ref = generate(LlamaForCausalLM(cfg, None), {"params": folded},
+                       prompt, 8)
+        st_model = LlamaForCausalLM(
+            cfg, QuantConfig().with_storage("posit8", 64))
+        out = speculative_generate(
+            st_model, {"params": slim, "storage": storage},
+            draft, d_vars, prompt, 8, k=3)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
