@@ -32,6 +32,12 @@ def main():
     parser.add_argument("--kv_cache", default=None,
                         choices=[None, "uint2", "uint4", "uint8"],
                         help="KIVI-quantize the KV cache at this width")
+    parser.add_argument("--storage", default=None,
+                        choices=[None, "posit8", "mx8", "w4a16", "w2a16"],
+                        help="serve with packed weight storage: kernels are "
+                             "converted offline and the bf16 weights never "
+                             "reach the device (quantize/storage.py)")
+    parser.add_argument("--storage_group", type=int, default=64)
     parser.add_argument("--prefill_len", type=int, default=128)
     add_qspec_args(parser)
     args = parser.parse_args()
@@ -58,10 +64,23 @@ def main():
                                     args.use_flash_attention)
     if kcfg is not None:
         from dataclasses import replace
-        model = type(model)(replace(cfg, kv_cache=kcfg), qconfig)
+        cfg = replace(cfg, kv_cache=kcfg)
+        model = type(model)(cfg, qconfig)
+
+    variables = {"params": params}
+    if args.storage:
+        from quantized_training_tpu.quantize import build_storage
+        storage, slim = build_storage(params, args.storage,
+                                      args.storage_group)
+        variables = {"params": slim, "storage": storage}
+        from quantized_training_tpu.quantize import QuantConfig
+        qconfig = (qconfig if qconfig is not None
+                   else QuantConfig()).with_storage(
+            args.storage, args.storage_group)
+        model = type(model)(cfg, qconfig)
 
     out = generate(
-        model, {"params": params}, jnp.asarray(ids),
+        model, variables, jnp.asarray(ids),
         max_new_tokens=args.max_new_tokens,
         temperature=args.temperature, top_k=args.top_k,
         eos_token_id=tok.eos_token_id,
