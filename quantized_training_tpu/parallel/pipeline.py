@@ -22,12 +22,15 @@ compose with the data axis for batch sharding).
 """
 
 import functools
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+from ..qspec import QuantizationSpec
+from .ring_attention import dequantize_payload, group_quantize_payload
 
 __all__ = ["pipeline_apply", "stack_stage_params"]
 
@@ -46,6 +49,7 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = "pipe",
     n_microbatches: int,
+    payload_spec: Optional[str] = None,
 ) -> jax.Array:
     """Run ``x`` through all stages of a pipeline-parallel layer stack.
 
@@ -57,6 +61,15 @@ def pipeline_apply(
     Returns stage_fn applied ``n_stages`` times in sequence — bit-equal to
     the sequential loop up to usual reduction-order effects (tested exact on
     the virtual mesh).
+
+    ``payload_spec`` (e.g. ``"int8,qs=group_wise_affine,bs=64,ax=-1"``)
+    quantizes the inter-stage activation hops: codes + group qparams ride
+    ICI instead of the full-precision tensor (2-8x fewer bytes, like the
+    ring-attention payload).  This is LOSSY — each device boundary rounds
+    the activation once, exactly equivalent to inserting
+    ``dequantize(quantize(h))`` between stage groups in the sequential
+    model (the fidelity/traffic trade is the caller's; tested against that
+    oracle).  The collected outputs themselves are never quantized.
     """
     n_stages = jax.tree_util.tree_leaves(stage_params)[0].shape[0]
     n_pipe = mesh.shape[axis]
@@ -66,6 +79,7 @@ def pipeline_apply(
     assert B % M == 0, (B, M)
     mb = B // M
     xs = x.reshape(M, mb, *x.shape[1:])
+    spec = QuantizationSpec.from_str(payload_spec) if payload_spec else None
 
     def local(params_local, xs):
         # params_local: leaves (n_stages/n_pipe, ...); xs: (M, mb, ...)
@@ -107,7 +121,13 @@ def pipeline_apply(
             # its rotated state is never read
             if do_permute:
                 perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
-                state = jax.lax.ppermute(h, axis, perm)
+                if spec is not None:
+                    payload = group_quantize_payload(h, spec)
+                    payload = jax.tree_util.tree_map(
+                        lambda a: jax.lax.ppermute(a, axis, perm), payload)
+                    state = dequantize_payload(*payload, spec).astype(h.dtype)
+                else:
+                    state = jax.lax.ppermute(h, axis, perm)
             else:
                 state = h
             return state, out

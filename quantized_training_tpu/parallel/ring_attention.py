@@ -31,7 +31,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..qspec import QuantizationSpec
 from ..quantize.ops import expand_scale
 
-__all__ = ["ring_attention", "ring_attention_reference"]
+__all__ = ["ring_attention", "ring_attention_reference",
+           "group_quantize_payload", "dequantize_payload"]
 
 NEG_INF = -1e30
 
@@ -44,7 +45,7 @@ def _payload_nbits(spec: QuantizationSpec) -> int:
     return 8
 
 
-def _group_quantize(x, spec: QuantizationSpec):
+def group_quantize_payload(x, spec: QuantizationSpec):
     """Group-affine quantize along spec.ch_axis (KIVI layout); returns
     (codes int8 — plane-packed sub-byte for uint2/uint4 so the ring moves
     2-8x fewer bytes than bf16 — scale f32, zp f32) with group-expanded
@@ -79,7 +80,7 @@ def _group_quantize(x, spec: QuantizationSpec):
     return (codes, jnp.squeeze(scale, ax + 1), jnp.squeeze(zp, ax + 1))
 
 
-def _dequantize(codes, scale, zp, spec: QuantizationSpec):
+def dequantize_payload(codes, scale, zp, spec: QuantizationSpec):
     ax = spec.ch_axis if spec.ch_axis >= 0 else codes.ndim + spec.ch_axis
     c = codes.astype(jnp.int32)
     # the packing factor is self-describing: scale carries one entry per
@@ -132,7 +133,7 @@ def ring_attention(
         q_pos = idx * S_loc + jnp.arange(S_loc)
 
         if spec is not None:
-            payload = _group_quantize(k, spec) + _group_quantize(v, spec)
+            payload = group_quantize_payload(k, spec) + group_quantize_payload(v, spec)
         else:
             payload = (k.astype(jnp.float32), v.astype(jnp.float32))
 
@@ -145,8 +146,8 @@ def ring_attention(
         def compute(t, payload, m, l, acc):
             if spec is not None:
                 kc, ks, kz, vc, vs, vz = payload
-                k_t = _dequantize(kc, ks, kz, spec)
-                v_t = _dequantize(vc, vs, vz, spec)
+                k_t = dequantize_payload(kc, ks, kz, spec)
+                v_t = dequantize_payload(vc, vs, vz, spec)
             else:
                 k_t, v_t = payload
             # the shard we hold after t hops originated at (idx - t) mod n
@@ -198,8 +199,8 @@ def ring_attention_reference(q, k, v, causal=True, scale=None,
         scale = 1.0 / (D ** 0.5)
     if kv_spec:
         spec = QuantizationSpec.from_str(kv_spec)
-        k = _dequantize(*_group_quantize(k, spec), spec).astype(k.dtype)
-        v = _dequantize(*_group_quantize(v, spec), spec).astype(v.dtype)
+        k = dequantize_payload(*group_quantize_payload(k, spec), spec).astype(k.dtype)
+        v = dequantize_payload(*group_quantize_payload(v, spec), spec).astype(v.dtype)
     s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
     if causal:

@@ -104,3 +104,61 @@ class TestPipeline:
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(seq(stacked, x)),
                                    rtol=1e-6, atol=1e-6)
+
+
+class TestQuantizedPayload:
+    """payload_spec: the inter-stage hop carries int8 codes; result equals
+    the sequential model with dequant(quant(h)) at each device boundary."""
+
+    @pytest.mark.parametrize("spec_s,n_pipe,n_stages", [
+        ("int8,qs=group_wise_affine,bs=16,ax=-1", 4, 4),
+        ("uint4,qs=group_wise_affine,bs=16,ax=-1", 4, 8),
+    ])
+    def test_matches_boundary_quant_oracle(self, spec_s, n_pipe, n_stages):
+        from quantized_training_tpu.parallel.ring_attention import (
+            group_quantize_payload, dequantize_payload,
+        )
+        from quantized_training_tpu.qspec import QuantizationSpec
+
+        d, M, B = 64, 4, 8
+        mesh = pipe_mesh(n_pipe)
+        stacked = make_stack(n_stages, d, seed=3)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(B, d)), jnp.float32)
+        spec = QuantizationSpec.from_str(spec_s)
+        per_dev = n_stages // n_pipe
+
+        def oracle(x):
+            h = x.reshape(M, B // M, d)
+            def one_mb(h):
+                for i in range(n_stages):
+                    h = stage_fn(
+                        jax.tree_util.tree_map(lambda a: a[i], stacked), h)
+                    boundary = (i + 1) % per_dev == 0 and i + 1 < n_stages
+                    if boundary:
+                        h = dequantize_payload(
+                            *group_quantize_payload(h, spec), spec
+                        ).astype(h.dtype)
+                return h
+            return jax.vmap(one_mb)(h).reshape(B, d)
+
+        out = pipeline_apply(stage_fn, stacked, x, mesh=mesh,
+                             n_microbatches=M, payload_spec=spec_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(oracle(x)),
+                                   rtol=1e-6, atol=1e-6)
+        # and it must differ from the unquantized pipeline (lossy by design)
+        exact = pipeline_apply(stage_fn, stacked, x, mesh=mesh,
+                               n_microbatches=M)
+        assert not np.allclose(np.asarray(out), np.asarray(exact),
+                               rtol=1e-6, atol=1e-6)
+
+    def test_payload_hop_is_int8(self):
+        mesh = pipe_mesh(4)
+        stacked = make_stack(4, 64)
+        x = jnp.zeros((8, 64), jnp.float32)
+        fn = jax.jit(lambda s, x: pipeline_apply(
+            stage_fn, s, x, mesh=mesh, n_microbatches=4,
+            payload_spec="uint4,qs=group_wise_affine,bs=16,ax=-1"))
+        hlo = fn.lower(stacked, x).compile().as_text()
+        assert any("collective-permute(" in l and "s8[" in l
+                   for l in hlo.splitlines())

@@ -96,7 +96,8 @@ class TestRingPayload:
 
     def test_codes_are_packed_int8(self):
         from quantized_training_tpu.parallel.ring_attention import (
-            _group_quantize, _dequantize,
+            group_quantize_payload as _group_quantize,
+            dequantize_payload as _dequantize,
         )
         from quantized_training_tpu.qspec import QuantizationSpec
         rng = np.random.default_rng(5)
