@@ -115,6 +115,7 @@ class LlamaAttention(nn.Module, QuantMixin):
         use_cache: bool = False,
         cache_index: Optional[jax.Array] = None,
         prompt_len: Optional[jax.Array] = None,
+        decode_append: bool = False,
     ) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
@@ -150,15 +151,21 @@ class LlamaAttention(nn.Module, QuantMixin):
             cache_var = self.variable(
                 "cache", "kivi",
                 lambda: init_cache(kcfg, B, KV, D, dtype))
-            if S > 1:
+            if S > 1 and not decode_append:
                 # Prefill: attend over the raw K/V; store them quantized.
                 # prompt_len zeroes padded slots so a fixed-shape padded
                 # prefill stores identical cache content to a true-length one.
                 cache_var.value = prefill_cache(
                     cache_var.value, kcfg, k, v, length=prompt_len)
             else:
+                # Decode append: S == 1 (ordinary decode) or an S-token
+                # verify block (speculative decoding, decode_append=True) —
+                # all S tokens land in the fp residual; no promotion ever
+                # happens at decode, so the caller can rewind by resetting
+                # res_len (rejected slots are masked and overwritten).
                 if cache_var.value.res_len.ndim == 1:
                     # continuous-batching mode: per-slot residual indices
+                    assert S == 1, "per-slot engine decode is single-token"
                     from ..serving.kv_cache import append_per_slot
                     cache_var.value = append_per_slot(cache_var.value, k, v)
                 else:
@@ -170,7 +177,15 @@ class LlamaAttention(nn.Module, QuantMixin):
                     c.main_len[None], (B,))
                 rl = c.res_len if per_slot else jnp.broadcast_to(
                     c.res_len[None], (B,))
-                if attention_mask is None and self._kivi_fused_eligible(kcfg, D):
+                if S > 1:
+                    # verify-block decode: multi-token causal mask over
+                    # [main; residual] — query i sees residual slots
+                    # r <= rl_before + i (its own slot and earlier)
+                    from ..serving.kv_cache import residual_causal_mask
+                    if attention_mask is None:
+                        attention_mask = residual_causal_mask(
+                            kcfg, B, S, c.main_len, c.res_len - S)
+                elif attention_mask is None and self._kivi_fused_eligible(kcfg, D):
                     # Fused dequant-attention: codes + scales + residual read
                     # directly, mask derived from the cache's own lengths
                     # (exact for any prompt length, scalar or per-slot).
@@ -414,13 +429,14 @@ class LlamaDecoderLayer(nn.Module, QuantMixin):
 
     @nn.compact
     def __call__(self, hidden, attention_mask, positions,
-                 use_cache=False, cache_index=None, prompt_len=None):
+                 use_cache=False, cache_index=None, prompt_len=None,
+                 decode_append=False):
         cfg = self.config
         normed = QRMSNorm(epsilon=cfg.rms_norm_eps, dtype=jnp.dtype(cfg.dtype),
                           qconfig=self.qconfig, name="input_layernorm")(hidden)
         attn_out = LlamaAttention(cfg, self.qconfig, name="self_attn")(
             normed, attention_mask, positions, use_cache, cache_index,
-            prompt_len,
+            prompt_len, decode_append,
         )
         hidden = self.quant_residual(hidden, attn_out, hook="attn_residual")
 
@@ -454,7 +470,8 @@ class LlamaModel(nn.Module, QuantMixin):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, positions=None,
-                 use_cache=False, cache_index=None, prompt_len=None):
+                 use_cache=False, cache_index=None, prompt_len=None,
+                 decode_append=False):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         B, S = input_ids.shape
@@ -471,7 +488,7 @@ class LlamaModel(nn.Module, QuantMixin):
 
         if attention_mask is None:
             if use_cache and cfg.kv_cache is not None:
-                if S > 1:
+                if S > 1 and not decode_append:
                     # kivi prefill attends over the current tokens only; with
                     # a padded fixed-shape prefill, prompt_len also masks the
                     # pad slots.
@@ -500,7 +517,7 @@ class LlamaModel(nn.Module, QuantMixin):
             hidden = LlamaDecoderLayer(
                 cfg, self.qconfig, name=f"layers_{i}"
             )(hidden, attention_mask, positions, use_cache, cache_index,
-              prompt_len)
+              prompt_len, decode_append)
 
         return QRMSNorm(epsilon=cfg.rms_norm_eps, dtype=dtype,
                         qconfig=self.qconfig, name="norm")(hidden)
@@ -512,11 +529,12 @@ class LlamaForCausalLM(nn.Module, QuantMixin):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, positions=None,
-                 use_cache=False, cache_index=None, prompt_len=None):
+                 use_cache=False, cache_index=None, prompt_len=None,
+                 decode_append=False):
         cfg = self.config
         hidden = LlamaModel(cfg, self.qconfig, name="model")(
             input_ids, attention_mask, positions, use_cache, cache_index,
-            prompt_len,
+            prompt_len, decode_append,
         )
         if cfg.tie_word_embeddings:
             embed = self.variables["params"]["model"]["embed_tokens"]["embedding"]

@@ -25,10 +25,14 @@ shapes throughout):
    the next round's writes start at the new length and overwrite them, and
    the causal mask never exposes slots beyond the current length.
 
-The full-precision cache is required on both models: the KIVI quantized
-cache promotes residual tokens into group-quantized storage, which is not
-invertible, so rejected tokens could not be rolled back (gating promotion
-on acceptance is future work).
+The target may use either cache. Full-precision: rewind is the length
+index (stale slots are masked and overwritten).  KIVI quantized: decode
+tokens only ever land in the fp *residual* tier (promotion to the
+quantized main tier happens exclusively at prefill), so the verify block
+appends k+1 residual slots via ``decode_append=True`` and rejection
+rewinds by resetting ``res_len`` — bit-equivalent to having appended only
+the accepted tokens.  The draft model must use the full-precision cache
+(it is small; quantizing it buys nothing).
 
 Batch is restricted to B == 1: rows accept different prefix lengths, which
 would need per-row cache indices (a serial-scatter trap under SPMD).
@@ -87,6 +91,7 @@ def _decode_all(target_model, draft_model, S, max_new_tokens, k,
     draft scan, verify forward, emit/rewind/count bookkeeping — is shared.
     """
     greedy = temperature == 0.0
+    t_kivi = getattr(target_model.config, "kv_cache", None) is not None
     B = t_last.shape[0]
     buf_len = max_new_tokens + k + 1    # rounds may overshoot; sliced below
     n_steps = k + 1
@@ -154,9 +159,24 @@ def _decode_all(target_model, draft_model, S, max_new_tokens, k,
         verify_in = jnp.concatenate([t_last[:, None], d], axis=1)
         logits, upd = target_model.apply(
             {**t_vars, "cache": cache_t}, verify_in,
-            use_cache=True, cache_index=p, mutable=["cache"])
+            use_cache=True, cache_index=p, decode_append=True,
+            mutable=["cache"])
         cache_t = upd["cache"]
         m, emit, rng = accept_and_emit(logits, d, qlog, rng)
+        if t_kivi:
+            # rewind the rejected residual slots: keep [t_last, d_1..d_m]
+            # of the k+1 just appended (no promotion happens at decode,
+            # so resetting res_len fully undoes the rest)
+            delta = jnp.int32(k) - m[0]
+
+            def rewind(node):
+                if isinstance(node, dict):
+                    return {kk: rewind(vv) for kk, vv in node.items()}
+                if hasattr(node, "res_len"):
+                    return node._replace(res_len=node.res_len - delta)
+                return node
+
+            cache_t = rewind(cache_t)
         buf = jax.lax.dynamic_update_slice(buf, emit, (0, count))
         t_last = jnp.take_along_axis(emit, m[:, None], axis=1)[:, 0]
         return (cache_t, cache_d, t_last, count + m[0] + 1,
@@ -192,18 +212,27 @@ def speculative_generate(
     temperature (the greedy guarantee's stochastic counterpart); top-k
     filtering is not supported in speculative mode.
 
-    ``target_model``/``draft_model`` must share the tokenizer (vocab) and use
-    the full-precision cache (``config.kv_cache is None``).  With
-    ``return_stats`` also returns {"rounds": n, "accept_rate": mean m / k}.
+    ``target_model``/``draft_model`` must share the tokenizer (vocab).  The
+    target may use the full-precision OR the KIVI quantized cache; the
+    draft must be full-precision.  With ``return_stats`` also returns
+    {"rounds": n, "accept_rate": mean m / k}.
     """
     B, S = input_ids.shape
     assert B == 1, "speculative decoding is a latency path: B must be 1"
-    assert getattr(target_model.config, "kv_cache", None) is None, (
-        "speculative decoding needs the full-precision cache (rewind)")
-    assert getattr(draft_model.config, "kv_cache", None) is None
-    max_pos = min(target_model.config.max_position_embeddings,
-                  draft_model.config.max_position_embeddings)
-    assert S + max_new_tokens + k + 1 <= max_pos, (S, max_new_tokens, k)
+    assert getattr(draft_model.config, "kv_cache", None) is None, (
+        "the draft model must use the full-precision cache")
+    t_kcfg = getattr(target_model.config, "kv_cache", None)
+    if t_kcfg is None:
+        assert (S + max_new_tokens + k + 1
+                <= target_model.config.max_position_embeddings), (
+            S, max_new_tokens, k)
+    else:
+        assert S <= t_kcfg.max_prefill, (S, t_kcfg.max_prefill)
+        # every round may write k+1 residual slots before rewinding
+        assert max_new_tokens + k <= t_kcfg.max_decode, (
+            max_new_tokens, k, t_kcfg.max_decode)
+    assert (S + max_new_tokens + k + 1
+            <= draft_model.config.max_position_embeddings)
     assert max_new_tokens >= 1 and k >= 1
 
     t_vars = {key: v for key, v in target_variables.items() if key != "cache"}
@@ -212,7 +241,7 @@ def speculative_generate(
     # Prefill both caches over the prompt.
     logits_t, upd_t = target_model.apply(
         target_variables, input_ids, use_cache=True, cache_index=0,
-        mutable=["cache"])
+        prompt_len=S if t_kcfg is not None else None, mutable=["cache"])
     _, upd_d = draft_model.apply(
         draft_variables, input_ids, use_cache=True, cache_index=0,
         mutable=["cache"])

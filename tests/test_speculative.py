@@ -78,14 +78,16 @@ class TestSpeculativeGenerate:
             t_model, t_vars, d_model, d_vars, ids, 19, k=4, eos_token_id=5)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
-    def test_rejects_kivi_cache(self, target):
+    def test_rejects_kivi_draft(self, target):
+        # KIVI targets are supported (TestKiviSpeculative); a KIVI DRAFT is
+        # not — the draft loop needs the fp cache's positional indexing
         from quantized_training_tpu.serving.kv_cache import KVCacheConfig
         model, variables = target
         kcfg = KVCacheConfig(max_prefill=16, max_decode=16)
         cfg = LlamaConfig.tiny(kv_cache=kcfg)
-        qmodel = LlamaForCausalLM(cfg, None)
+        qdraft = LlamaForCausalLM(cfg, None)
         with pytest.raises(AssertionError):
-            speculative_generate(qmodel, variables, model, variables,
+            speculative_generate(model, variables, qdraft, variables,
                                  _prompt(), 4)
 
 
@@ -141,3 +143,61 @@ class TestSampledSpeculative:
         for o in outs:
             assert o.shape == (1, ids.shape[1] + 12)
             assert (o >= 0).all() and (o < 256).all()
+
+
+class TestKiviSpeculative:
+    """Speculative decoding over the KIVI quantized cache: verify blocks
+    append to the fp residual and rejections rewind res_len."""
+
+    def _kivi_model(self, layers=3):
+        from quantized_training_tpu.serving.kv_cache import KVCacheConfig
+        kcfg = KVCacheConfig.kivi(
+            max_prefill=16, max_decode=32,
+            k_spec="uint4,qs=group_wise_affine,bs=8,ax=-2",
+            v_spec="uint4,qs=group_wise_affine,bs=8,ax=-1", pack=True)
+        # use_fused_kivi=False: token-for-token equality needs generate()
+        # and the verify block on the same (naive) compute path — the fused
+        # kernel's float ordering differs by ulps, which greedy argmax can
+        # amplify into different chains (both correct)
+        cfg = LlamaConfig.tiny(num_hidden_layers=layers, kv_cache=kcfg,
+                               use_fused_kivi=False)
+        model = LlamaForCausalLM(cfg, None)
+        v = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+        return model, v
+
+    def test_greedy_equals_kivi_generate(self, draft):
+        t_model, t_vars = self._kivi_model()
+        d_model, d_vars = draft
+        ids = _prompt(11, S=10)
+        ref = generate(t_model, t_vars, ids, 12)
+        for k in (2, 4):
+            out, stats = speculative_generate(
+                t_model, t_vars, d_model, d_vars, ids, 12, k=k,
+                return_stats=True)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
+                                          err_msg=f"k={k}")
+
+    def test_perfect_kivi_draft_needs_fp_draft(self):
+        # the draft must be fp: a KIVI draft is rejected loudly
+        t_model, t_vars = self._kivi_model()
+        with pytest.raises(AssertionError):
+            speculative_generate(t_model, t_vars, t_model, t_vars,
+                                 _prompt(1, S=8), 4)
+
+    def test_residual_capacity_bound(self, draft):
+        t_model, t_vars = self._kivi_model()
+        d_model, d_vars = draft
+        with pytest.raises(AssertionError):
+            # max_new + k > max_decode (32)
+            speculative_generate(t_model, t_vars, d_model, d_vars,
+                                 _prompt(1, S=8), 30, k=4)
+
+    def test_sampled_kivi_runs(self, draft):
+        t_model, t_vars = self._kivi_model()
+        d_model, d_vars = draft
+        out = speculative_generate(
+            t_model, t_vars, d_model, d_vars, _prompt(2, S=9), 10, k=3,
+            temperature=0.9, rng=jax.random.PRNGKey(1))
+        a = np.asarray(out)
+        assert a.shape == (1, 19) and ((a >= 0) & (a < 256)).all()
