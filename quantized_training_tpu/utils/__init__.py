@@ -5,6 +5,10 @@ from .evaluation import (
     squad_em_f1,
     postprocess_qa_predictions,
 )
+from .recommend import (
+    recommend_formats,
+    render_recommendations,
+)
 from .histogram import (
     exponent_histogram,
     histogram_summary,

@@ -80,3 +80,76 @@ class TestSquadMetrics:
         end = np.array([[0.0, 4.0, 0.0, 0.0, 2.0]])
         preds = postprocess_qa_predictions(examples, features, start, end)
         assert preds["q"] == "Paris"
+
+
+class TestRecommend:
+    """Format recommendation from exponent histograms (utils/recommend.py)."""
+
+    def _hist(self, exps, counts):
+        from quantized_training_tpu.utils.histogram import MIN_EXP, NUM_BINS
+        h = np.zeros(NUM_BINS)
+        for e, c in zip(exps, counts):
+            h[e - MIN_EXP] = c
+        return h
+
+    def test_narrow_centered_prefers_posit(self):
+        from quantized_training_tpu.utils.recommend import recommend_formats
+        # activations-like: mass in [-6, 4] around 0 — e4m3 covers, posit
+        # covers AND the center is in the taper sweet zone
+        h = {"site": {"hist": self._hist(range(-6, 5), [100] * 11)}}
+        r = recommend_formats(h)["site"]
+        assert r["direct"] == "posit8_1", r
+        assert "fp8_e4m3" in r["fits"]
+
+    def test_wide_range_needs_e5m2_or_posit2(self):
+        from quantized_training_tpu.utils.recommend import recommend_formats
+        h = {"site": {"hist": self._hist(range(-15, 15), [10] * 30)}}
+        r = recommend_formats(h)["site"]
+        assert r["direct"] in ("fp8_e5m2", "posit8_2")
+        assert "fp8_e4m3" not in r["fits"]
+
+    def test_beyond_all_direct_formats(self):
+        from quantized_training_tpu.utils.recommend import recommend_formats
+        h = {"site": {"hist": self._hist(range(-40, 40), [1] * 80)}}
+        r = recommend_formats(h)["site"]
+        assert r["direct"] is None
+        assert r["scaled_int8"] is None  # span 79 >> int8
+
+    def test_outlier_tail_is_trimmed_by_coverage(self):
+        from quantized_training_tpu.utils.recommend import recommend_formats
+        # 99.99% of mass in [-4, 4]; 4 outlier values at exp 30
+        exps = list(range(-4, 5)) + [30]
+        counts = [10000] * 9 + [4]
+        h = {"site": {"hist": self._hist(exps, counts)}}
+        r = recommend_formats(h, coverage=0.999)["site"]
+        assert r["window"][1] <= 8, r
+        assert r["direct"] is not None
+
+    def test_narrow_span_fits_scaled_int4(self):
+        from quantized_training_tpu.utils.recommend import recommend_formats
+        h = {"site": {"hist": self._hist([2, 3, 4], [50, 100, 50])}}
+        r = recommend_formats(h)["site"]
+        assert r["scaled_int8"] == "int4"
+
+    def test_render_and_real_calibration_flow(self):
+        # end-to-end: calibrate a quantized model with histograms on, then
+        # recommend from the recorded collection
+        from quantized_training_tpu.models import (
+            LlamaConfig, LlamaForCausalLM,
+        )
+        from quantized_training_tpu.quantize import QConfig, QuantConfig
+        from quantized_training_tpu.utils.recommend import (
+            recommend_formats, render_recommendations,
+        )
+        qc = QuantConfig(
+            global_qconfig=QConfig.from_strs(activation="posit8_1"),
+            record_histogram=True)
+        model = LlamaForCausalLM(LlamaConfig.tiny(), qc)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+        _, upd = model.apply(variables, ids,
+                             mutable=["quant_histogram", "quant_state"])
+        recs = recommend_formats(upd["quant_histogram"])
+        assert recs, "no sites recorded"
+        table = render_recommendations(recs)
+        assert "direct" in table and len(table.splitlines()) > 2
