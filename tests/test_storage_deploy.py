@@ -182,3 +182,27 @@ class TestBuildStorage:
             st_model, {"params": slim, "storage": storage},
             draft, d_vars, prompt, 8, k=3)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_generalizes_to_bert(self):
+        # build_storage packs any model family's QDense kernels (all dense
+        # layers in this package are QDense; embeddings are untouched)
+        from quantized_training_tpu.models.bert import (
+            BertConfig, BertForSequenceClassification,
+        )
+        cfg = BertConfig.tiny(hidden_size=128, intermediate_size=256,
+                              num_labels=3)
+        model = BertForSequenceClassification(cfg, None)
+        ids = jnp.asarray(
+            np.random.default_rng(1).integers(0, 256, (2, 16)), jnp.int32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+
+        qc_ref = QuantConfig(
+            global_qconfig=QConfig.from_strs(weight="posit8_1"))
+        folded = fold_quantized_weights(variables["params"], qc_ref)
+        ref = model.apply({"params": folded}, ids)
+
+        storage, slim = build_storage(variables["params"], "posit8", 64)
+        st_model = BertForSequenceClassification(
+            cfg, QuantConfig().with_storage("posit8", 64))
+        out = st_model.apply({"params": slim, "storage": storage}, ids)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
