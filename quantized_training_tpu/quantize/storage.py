@@ -16,7 +16,13 @@ accelerator number formats).  Flow:
 ``build_storage`` packs every 2-D ``kernel`` leaf (the QDense weights;
 QConv 4-D kernels and embeddings are left alone) and *removes it from the
 params tree* — the dense bf16 weights never reach the device, which is the
-capacity/bandwidth point.  The packed dequant matches the corresponding
+capacity/bandwidth point.
+
+Scope: single-chip and data-parallel serving.  Under tensor parallelism the
+packed codes would need Megatron shardings of their own and the Pallas
+storage matmuls a ``custom_partitioning`` rule (like the fused KIVI kernel
+carries); until then TP + storage runs through the XLA dequant fallback,
+which GSPMD shards correctly but without the kernel-path bandwidth win.  The packed dequant matches the corresponding
 weight fake-quant exactly:
 
     posit8  ≡ weight spec ``posit8_1``        (exact codes, 1 B/weight)
