@@ -11,6 +11,7 @@ from .mesh import (
 from .sharding import (
     apply_sharding_rules,
     shard_rules_llama,
+    shard_rules_llama_storage,
     shard_rules_transformer,
     shard_pytree,
     batch_sharding,
@@ -32,6 +33,7 @@ __all__ = [
     "MODEL_AXIS",
     "apply_sharding_rules",
     "shard_rules_llama",
+    "shard_rules_llama_storage",
     "shard_rules_transformer",
     "shard_pytree",
     "batch_sharding",

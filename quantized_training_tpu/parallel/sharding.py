@@ -25,6 +25,7 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 __all__ = [
     "apply_sharding_rules",
     "shard_rules_llama",
+    "shard_rules_llama_storage",
     "shard_rules_transformer",
     "shard_pytree",
     "batch_sharding",
@@ -68,6 +69,25 @@ def shard_rules_llama() -> Rules:
         # (generate mode) have no dims and fall back to replicated
         (r"\.kivi\.(main_len|res_len)$", P(DATA_AXIS)),
         (r"\.kivi\.", P(DATA_AXIS, m, None, None)),
+    )
+
+
+def shard_rules_llama_storage(fmt: str = "posit8") -> Rules:
+    """Megatron TP specs for the packed-weight ``storage`` collection
+    (quantize/storage.py): codes shard exactly like the kernels they
+    replaced — (in, out) layout, column-parallel output dim / row-parallel
+    input dim; group qparams shard with their codes.  The sub-byte formats'
+    qparams are 3-D (plane, group, out), hence the per-format specs."""
+    m = MODEL_AXIS
+    col_q = P(None, None, m) if fmt in ("w4a16", "w2a16") else P(None, m)
+    row_q = P(None, m, None) if fmt in ("w4a16", "w2a16") else P(m, None)
+    return (
+        (r"\.(q_proj|k_proj|v_proj|gate_proj|up_proj|lm_head)\.codes$",
+         P(None, m)),
+        (r"\.(o_proj|down_proj)\.codes$", P(m, None)),
+        (r"\.(q_proj|k_proj|v_proj|gate_proj|up_proj|lm_head)"
+         r"\.(scales|zero_points)$", col_q),
+        (r"\.(o_proj|down_proj)\.(scales|zero_points)$", row_q),
     )
 
 

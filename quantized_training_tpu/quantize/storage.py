@@ -18,11 +18,12 @@ QConv 4-D kernels and embeddings are left alone) and *removes it from the
 params tree* — the dense bf16 weights never reach the device, which is the
 capacity/bandwidth point.
 
-Scope: single-chip and data-parallel serving.  Under tensor parallelism the
-packed codes would need Megatron shardings of their own and the Pallas
-storage matmuls a ``custom_partitioning`` rule (like the fused KIVI kernel
-carries); until then TP + storage runs through the XLA dequant fallback,
-which GSPMD shards correctly but without the kernel-path bandwidth win.  The packed dequant matches the corresponding
+Tensor parallelism: ``parallel.shard_rules_llama_storage(fmt)`` gives the
+packed codes/qparams the Megatron shardings of the kernels they replaced
+(TP storage forward ≡ single-device, tested on the virtual mesh via the
+XLA dequant path).  Giving the Pallas storage matmuls a
+``custom_partitioning`` rule — so the kernel-path bandwidth win survives
+under pjit like the fused KIVI kernel's does — is future work.  The packed dequant matches the corresponding
 weight fake-quant exactly:
 
     posit8  ≡ weight spec ``posit8_1``        (exact codes, 1 B/weight)

@@ -206,3 +206,33 @@ class TestBuildStorage:
             cfg, QuantConfig().with_storage("posit8", 64))
         out = st_model.apply({"params": slim, "storage": storage}, ids)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    @pytest.mark.skipif(len(jax.devices("cpu")) < 8,
+                        reason="needs 8 virtual devices")
+    def test_tp_sharded_storage_matches_single_device(self, base):
+        # TP serving with packed weights: codes/qparams shard with Megatron
+        # rules; the forward equals the single-device storage forward
+        from quantized_training_tpu.parallel import (
+            apply_sharding_rules, create_mesh, shard_pytree,
+            shard_rules_llama, shard_rules_llama_storage,
+        )
+        cfg, variables, ids = base
+        for fmt in ("posit8", "w4a16"):
+            storage, slim = build_storage(variables["params"], fmt, 64)
+            st_model = LlamaForCausalLM(
+                cfg, QuantConfig().with_storage(fmt, 64))
+            ref = st_model.apply({"params": slim, "storage": storage}, ids)
+
+            mesh = create_mesh(data=2, model=4, devices=jax.devices("cpu"))
+            slim_sh = shard_pytree(slim, mesh, shard_rules_llama())
+            storage_sh = shard_pytree(
+                storage, mesh, shard_rules_llama_storage(fmt))
+            with mesh:
+                out = jax.jit(lambda v, i: st_model.apply(v, i))(
+                    {"params": slim_sh, "storage": storage_sh}, ids)
+            # row-parallel psums change the f32 summation order: allow
+            # bf16-ulp noise (a wrong sharding would produce garbage, not
+            # 1-ulp diffs on ~1% of logits)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                rtol=2e-2, atol=2e-2, err_msg=fmt)
