@@ -23,8 +23,9 @@ packed codes/qparams the Megatron shardings of the kernels they replaced
 (TP storage forward ≡ single-device, tested on the virtual mesh via the
 XLA dequant path).  Giving the Pallas storage matmuls a
 ``custom_partitioning`` rule — so the kernel-path bandwidth win survives
-under pjit like the fused KIVI kernel's does — is future work.  The packed dequant matches the corresponding
-weight fake-quant exactly:
+under pjit like the fused KIVI kernel's does — is future work.
+
+The packed dequant matches the corresponding weight fake-quant exactly:
 
     posit8  ≡ weight spec ``posit8_1``        (exact codes, 1 B/weight)
     mx8     ≡ ``int8,qs=microscaling,bs=G``   (1 B + shared scales)
