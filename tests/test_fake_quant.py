@@ -636,3 +636,60 @@ class TestAffineStorage:
         w = jnp.zeros((192, 8), jnp.float32)  # 192 not multiple of 2*128
         with pytest.raises(ValueError):
             pack_affine_weights(w, 4, 128)
+
+
+class TestMXMatmulSharded:
+    """SPMD-partitioned storage matmul (mx_matmul_sharded): Megatron-sharded
+    codes must stay sharded (no all-gather of the weight bytes)."""
+
+    @pytest.mark.skipif(len(jax.devices("cpu")) < 8,
+                        reason="needs 8 virtual devices")
+    def test_column_and_row_parallel_match_local(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from quantized_training_tpu.ops.pallas.mx_storage import (
+            mx_matmul, mx_matmul_sharded, pack_mx_weights,
+        )
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:8]).reshape(8), ("model",))
+        rng = np.random.default_rng(11)
+        M, K, N = 16, 512, 256
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.bfloat16)
+        codes, scales = pack_mx_weights(w)
+        ref = mx_matmul(x, codes, scales)
+
+        cases = {
+            # column-parallel: codes shard on N
+            "col": (P(None, None), P(None, "model"), P(None, "model")),
+            # row-parallel: x and codes shard on K (512/8 = 64 = bs-aligned)
+            "row": (P(None, "model"), P("model", None), P("model", None)),
+        }
+        for name, (xs, cs, ss) in cases.items():
+            xd = jax.device_put(x, NamedSharding(mesh, xs))
+            cd = jax.device_put(codes, NamedSharding(mesh, cs))
+            sd = jax.device_put(scales, NamedSharding(mesh, ss))
+            with mesh:
+                fn = jax.jit(mx_matmul_sharded)
+                out = fn(xd, cd, sd)
+                hlo = fn.lower(xd, cd, sd).compile().as_text()
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                rtol=2e-2, atol=2e-2, err_msg=name)
+            # the int8 codes must never be all-gathered
+            gathered_codes = [l for l in hlo.splitlines()
+                              if "all-gather" in l and "s8[" in l]
+            assert not gathered_codes, (name, gathered_codes[:2])
+            if name == "row":
+                assert any("all-reduce" in l and "f32[" in l
+                           for l in hlo.splitlines()), "row needs one psum"
+
+    def test_unsharded_single_device_equals_plain(self):
+        from quantized_training_tpu.ops.pallas.mx_storage import (
+            mx_matmul, mx_matmul_sharded, pack_mx_weights,
+        )
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.standard_normal((8, 128)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((128, 64)) * 0.2, jnp.bfloat16)
+        codes, scales = pack_mx_weights(w)
+        np.testing.assert_array_equal(
+            np.asarray(mx_matmul_sharded(x, codes, scales), np.float32),
+            np.asarray(mx_matmul(x, codes, scales), np.float32))
