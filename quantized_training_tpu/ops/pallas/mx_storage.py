@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...quantize.ops import calculate_mx_qparam, expand_scale
 from ...numerics import quantize_fn
 
-__all__ = ["pack_mx_weights", "mx_matmul"]
+__all__ = ["pack_mx_weights", "mx_matmul", "mx_matmul_sharded"]
 
 
 def pack_mx_weights(
@@ -139,3 +139,117 @@ def mx_matmul(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
     )(x, w_codes, w_scales)
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning: under pjit the pallas_call is an opaque custom call, so
+# without a rule GSPMD all-gathers the Megatron-sharded codes onto every
+# device before each GEMM — exactly the weight movement the storage format
+# exists to avoid.  The matmul partitions canonically: column-parallel
+# (codes (K, N) sharded on N) splits the kernel per shard with x replicated;
+# row-parallel (sharded on K, aligned to whole scale groups) computes
+# partial products and one psum.  Same construction as the fused KIVI decode
+# kernel's rule (kivi_attention.py).
+# ---------------------------------------------------------------------------
+
+def _axis_size(mesh, ax) -> int:
+    if ax is None:
+        return 1
+    if isinstance(ax, (tuple, list)):
+        n = 1
+        for a in ax:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[ax]
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_mx_matmul(block_size, out_dtype_name, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out_dtype = jnp.dtype(out_dtype_name)
+
+    def local(x, codes, scales):
+        return mx_matmul(x, codes, scales, block_size=block_size,
+                         out_dtype=out_dtype, interpret=interpret)
+
+    def _spec_of(shape_struct):
+        return getattr(shape_struct.sharding, "spec", P())
+
+    def _classify(mesh, arg_shapes):
+        """-> (m_ax, mode, w_ax): batch sharding of x rows, and whether the
+        codes shard column- (N) or row-parallel (K, whole scale groups)."""
+        xs, cs = _spec_of(arg_shapes[0]), _spec_of(arg_shapes[1])
+        M, K = arg_shapes[0].shape
+        N = arg_shapes[1].shape[1]
+        m_ax = xs[0] if len(xs) > 0 else None
+        if m_ax is not None and M % _axis_size(mesh, m_ax):
+            m_ax = None
+        c_k = cs[0] if len(cs) > 0 else None
+        c_n = cs[1] if len(cs) > 1 else None
+        if c_n is not None and N % _axis_size(mesh, c_n) == 0:
+            return m_ax, "col", c_n
+        if c_k is not None:
+            n_sh = _axis_size(mesh, c_k)
+            # shard boundaries must align with whole scale groups
+            if K % n_sh == 0 and (K // n_sh) % block_size == 0:
+                return m_ax, "row", c_k
+        return m_ax, "rep", None
+
+    def partition(mesh, arg_shapes, result_shape):
+        m_ax, mode, w_ax = _classify(mesh, arg_shapes)
+        if mode == "col":
+            args = (NamedSharding(mesh, P(m_ax, None)),
+                    NamedSharding(mesh, P(None, w_ax)),
+                    NamedSharding(mesh, P(None, w_ax)))
+            out = NamedSharding(mesh, P(m_ax, w_ax))
+            return mesh, local, out, args
+        if mode == "row":
+            args = (NamedSharding(mesh, P(m_ax, w_ax)),
+                    NamedSharding(mesh, P(w_ax, None)),
+                    NamedSharding(mesh, P(w_ax, None)))
+            out = NamedSharding(mesh, P(m_ax, None))
+
+            def local_psum(x, codes, scales):
+                part = mx_matmul(x, codes, scales, block_size=block_size,
+                                 out_dtype=jnp.float32, interpret=interpret)
+                return jax.lax.psum(part, w_ax).astype(out_dtype)
+
+            return mesh, local_psum, out, args
+        args = (NamedSharding(mesh, P(m_ax, None)),
+                NamedSharding(mesh, P(None, None)),
+                NamedSharding(mesh, P(None, None)))
+        return mesh, local, NamedSharding(mesh, P(m_ax, None)), args
+
+    def infer_sharding_from_operands(mesh, arg_shapes, shape):
+        m_ax, mode, w_ax = _classify(mesh, arg_shapes)
+        return NamedSharding(
+            mesh, P(m_ax, w_ax if mode == "col" else None))
+
+    wrapped = custom_partitioning(local)
+    wrapped.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        # einsum rule: contraction k shared by x and codes; the scale-group
+        # dim g tracks k/bs and is pinned in the partition callback
+        sharding_rule="m k, k n, g n -> m n",
+        need_replication_factors=("g",),
+    )
+    return wrapped
+
+
+def mx_matmul_sharded(
+    x: jax.Array, w_codes: jax.Array, w_scales: jax.Array, *,
+    block_size: int = 64, out_dtype=None, interpret: Optional[bool] = None,
+) -> jax.Array:
+    """:func:`mx_matmul` with an SPMD partitioning rule: under pjit,
+    Megatron-sharded codes stay sharded (column: per-shard GEMM; row:
+    partial GEMM + one psum) instead of being all-gathered."""
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+    if interpret is None:
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        interpret = platform != "tpu"
+    return _partitioned_mx_matmul(block_size, out_dtype.name,
+                                  bool(interpret))(x, w_codes, w_scales)

@@ -20,10 +20,11 @@ capacity/bandwidth point.
 
 Tensor parallelism: ``parallel.shard_rules_llama_storage(fmt)`` gives the
 packed codes/qparams the Megatron shardings of the kernels they replaced
-(TP storage forward ≡ single-device, tested on the virtual mesh via the
-XLA dequant path).  Giving the Pallas storage matmuls a
-``custom_partitioning`` rule — so the kernel-path bandwidth win survives
-under pjit like the fused KIVI kernel's does — is future work.
+(TP storage forward ≡ single-device, tested on the virtual mesh).  The
+mx format's matmul additionally carries a ``custom_partitioning`` rule
+(``mx_matmul_sharded``) so under pjit the sharded codes are never
+all-gathered: column-parallel shards run the kernel on their N slice,
+row-parallel shards compute partials and one psum (asserted on HLO).
 
 The packed dequant matches the corresponding weight fake-quant exactly:
 
