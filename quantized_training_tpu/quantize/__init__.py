@@ -22,6 +22,7 @@ from .ops import (
 )
 from .fold import fold_quantized_weights, strip_weight_specs
 from .storage import build_storage, STORAGE_FORMATS
+from .smooth import smoothing_scales, smooth_llama, calibrate_llama_amax
 from .config import (
     OpCategory,
     QConfig,
@@ -56,4 +57,7 @@ __all__ = [
     "strip_weight_specs",
     "build_storage",
     "STORAGE_FORMATS",
+    "smoothing_scales",
+    "smooth_llama",
+    "calibrate_llama_amax",
 ]

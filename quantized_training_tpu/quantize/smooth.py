@@ -1,0 +1,136 @@
+"""Activation smoothing (SmoothQuant-style) for PTQ.
+
+Activation tensors carry per-channel outliers that per-tensor quantization
+clips or drowns; weights are comparatively flat.  Smoothing migrates the
+difficulty: divide each activation channel by ``s_j`` and fold ``s_j`` into
+the rows of every kernel that consumes it —
+
+    y = act(x) @ W  ==  (act(x) / s) @ (diag(s) W)
+
+which is *exact* in full precision, and after it the activation quantizes
+with far less error while the weights (now scaled) remain easy.  Public
+technique (SmoothQuant, Xiao et al. 2022); composes with this framework's
+int8/W8A8 activation paths and the microscaling weight formats.
+
+LLaMA placement: the activations feeding q/k/v and gate/up are RMSNorm
+outputs ``(x / rms) * g``, so dividing by ``s`` folds into the norm's gain
+``g / s`` — no runtime op is added at all.  The classic
+
+    s_j = amax_act_j ** alpha / amax_w_j ** (1 - alpha)
+
+balance (alpha = 0.5 default) comes from per-channel calibration amaxes;
+``calibrate_llama_amax`` collects them with flax ``capture_intermediates``
+(no graph surgery).
+"""
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["smoothing_scales", "smooth_llama", "calibrate_llama_amax"]
+
+
+def smoothing_scales(act_amax: jax.Array, w_amax: jax.Array,
+                     alpha: float = 0.5) -> jax.Array:
+    """Per-channel migration scales; clamped so dead channels stay put."""
+    act = jnp.maximum(jnp.asarray(act_amax, jnp.float32), 1e-5)
+    w = jnp.maximum(jnp.asarray(w_amax, jnp.float32), 1e-5)
+    s = act ** alpha / w ** (1.0 - alpha)
+    return jnp.clip(s, 1e-3, 1e3)
+
+
+def calibrate_llama_amax(model, variables, batches) -> Dict[str, jax.Array]:
+    """Per-channel amax of each decoder layer's two norm outputs.
+
+    Returns {"layers_i.attn": (d,), "layers_i.mlp": (d,)} — the activations
+    feeding q/k/v and gate/up respectively.  ``batches`` is an iterable of
+    input_ids arrays.
+    """
+    def keep(mdl, method_name):
+        return getattr(mdl, "name", None) in (
+            "input_layernorm", "post_attention_layernorm")
+
+    amax: Dict[str, jax.Array] = {}
+    for ids in batches:
+        _, state = model.apply(
+            variables, ids, capture_intermediates=keep,
+            mutable=["intermediates"])
+        inter = state["intermediates"]["model"]
+        for lname, sub in inter.items():
+            if not lname.startswith("layers_"):
+                continue
+            for norm, key in (("input_layernorm", "attn"),
+                              ("post_attention_layernorm", "mlp")):
+                y = sub[norm]["__call__"][0]
+                a = jnp.max(jnp.abs(y.astype(jnp.float32)),
+                            axis=tuple(range(y.ndim - 1)))
+                k = f"{lname}.{key}"
+                amax[k] = jnp.maximum(amax[k], a) if k in amax else a
+    return amax
+
+
+def smooth_llama(params, act_amax: Dict[str, jax.Array],
+                 alpha: float = 0.5):
+    """Fold smoothing scales into a LlamaForCausalLM params tree.
+
+    For every decoder layer: ``input_layernorm.scale /= s_attn`` with
+    ``s_attn`` multiplied into the q/k/v kernel rows, and
+    ``post_attention_layernorm.scale /= s_mlp`` into gate/up rows.  The fp
+    forward is unchanged (exact linear identity, tested); per-tensor
+    activation quantization error drops on outlier-heavy channels.
+    Returns (smoothed_params, scales_dict).
+    """
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+    model = dict(params["model"])
+    scales = {}
+    for lname in list(model.keys()):
+        if not lname.startswith("layers_"):
+            continue
+        layer = dict(model[lname])
+        attn = dict(layer["self_attn"])
+        mlp = dict(layer["mlp"])
+
+        # attention side
+        k = f"{lname}.attn"
+        if k in act_amax:
+            w_amax = jnp.maximum(
+                jnp.max(jnp.abs(attn["q_proj"]["kernel"]), axis=1),
+                jnp.maximum(
+                    jnp.max(jnp.abs(attn["k_proj"]["kernel"]), axis=1),
+                    jnp.max(jnp.abs(attn["v_proj"]["kernel"]), axis=1)))
+            s = smoothing_scales(act_amax[k], w_amax, alpha)
+            scales[k] = s
+            norm = dict(layer["input_layernorm"])
+            norm["scale"] = (norm["scale"] / s).astype(norm["scale"].dtype)
+            layer["input_layernorm"] = norm
+            for proj in ("q_proj", "k_proj", "v_proj"):
+                d = dict(attn[proj])
+                d["kernel"] = (d["kernel"] * s[:, None]).astype(
+                    d["kernel"].dtype)
+                attn[proj] = d
+
+        # mlp side
+        k = f"{lname}.mlp"
+        if k in act_amax:
+            w_amax = jnp.maximum(
+                jnp.max(jnp.abs(mlp["gate_proj"]["kernel"]), axis=1),
+                jnp.max(jnp.abs(mlp["up_proj"]["kernel"]), axis=1))
+            s = smoothing_scales(act_amax[k], w_amax, alpha)
+            scales[k] = s
+            norm = dict(layer["post_attention_layernorm"])
+            norm["scale"] = (norm["scale"] / s).astype(norm["scale"].dtype)
+            layer["post_attention_layernorm"] = norm
+            for proj in ("gate_proj", "up_proj"):
+                d = dict(mlp[proj])
+                d["kernel"] = (d["kernel"] * s[:, None]).astype(
+                    d["kernel"].dtype)
+                mlp[proj] = d
+
+        layer["self_attn"] = attn
+        layer["mlp"] = mlp
+        model[lname] = layer
+    out = dict(params)
+    out["model"] = model
+    return out, scales
