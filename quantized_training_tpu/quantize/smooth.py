@@ -14,7 +14,12 @@ int8/W8A8 activation paths and the microscaling weight formats.
 
 LLaMA placement: the activations feeding q/k/v and gate/up are RMSNorm
 outputs ``(x / rms) * g``, so dividing by ``s`` folds into the norm's gain
-``g / s`` — no runtime op is added at all.  The classic
+``g / s`` — no runtime op is added at all.  This exact fold needs pre-LN
+architectures (the norm output feeds ONLY the projections); in post-LN
+encoders (BERT family) the norm output also rides the residual stream, so
+folding would change the model — there SmoothQuant needs explicit mul ops,
+which this framework expresses as a per-channel outlier spec instead
+(qspec ``outlier=...``).  The classic
 
     s_j = amax_act_j ** alpha / amax_w_j ** (1 - alpha)
 
