@@ -8,7 +8,8 @@ import jax
 import jax.numpy as jnp
 
 from quantized_training_tpu.compile import (
-    compile_report, dump_verification_tensors, export_stablehlo,
+    compile_report, dump_verification_tensors, export_graph_dot,
+    export_stablehlo,
 )
 from quantized_training_tpu.numerics import quantize_fn
 
@@ -30,6 +31,46 @@ def test_compile_report(tmp_path):
     assert "op_histogram" in report
     data = json.load(open(tmp_path / "report.json"))
     assert data == report
+
+
+class TestGraphDot:
+    """Graph viz: DOT export of the (optimized) HLO graph — the reference's
+    plot_graph SVG analogue (codegen/mapping.py:1793-1866)."""
+
+    def test_optimized_graph(self, tmp_path):
+        fn = lambda x, w: quantize_fn("e4m3")(
+            jnp.dot(x, w, preferred_element_type=jnp.float32))
+        x = jnp.ones((8, 16), jnp.bfloat16)
+        w = jnp.ones((16, 32), jnp.bfloat16)
+        path = str(tmp_path / "graph.dot")
+        dot = export_graph_dot(fn, (x, w), path)
+        assert dot.startswith("digraph hlo {") and dot.rstrip().endswith("}")
+        assert os.path.exists(path)
+        # the matmul node exists and has the MXU style
+        assert 'label="dot' in dot and "#f4cccc" in dot
+        # at least one edge into some node
+        assert "->" in dot
+        # parameters appear as nodes
+        assert dot.count("[label=") >= 3
+
+    def test_unoptimized_graph(self):
+        fn = lambda x: quantize_fn("posit8_1")(x) * 2.0
+        x = jnp.ones((4, 8), jnp.bfloat16)
+        dot = export_graph_dot(fn, (x,), optimized=False)
+        assert dot.startswith("digraph hlo {")
+        # pre-fusion: the quantizer's bit ops are visible individually
+        assert "bitcast-convert" in dot or "shift-right" in dot
+
+    def test_fusion_label_and_balanced_quotes(self):
+        fn = lambda x, w: jnp.round(
+            jnp.maximum(jnp.dot(x, w, preferred_element_type=jnp.float32), 0)
+            * 0.5)
+        x = jnp.ones((8, 16), jnp.bfloat16)
+        w = jnp.ones((16, 32), jnp.bfloat16)
+        dot = export_graph_dot(fn, (x, w))
+        # every line is well-formed DOT (quotes balanced)
+        for line in dot.splitlines():
+            assert line.count('"') % 2 == 0, line
 
 
 def test_dump_verification_tensors(tmp_path):
