@@ -297,6 +297,15 @@ class QDense(nn.Module, QuantMixin):
         kernel = kernel.astype(self.dtype)
         if not self.skip_input_quant:
             x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
+        if self.is_mutable_collection("gptq"):
+            # GPTQ calibration (quantize/gptq.py): accumulate this layer's
+            # input Hessian X^T X of the (post-input-quant) matmul operand.
+            # Only runs when the caller asked for mutable=["gptq"].
+            x2 = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+            k_in = x.shape[-1]
+            self.sow("gptq", "hessian", x2.T @ x2,
+                     reduce_fn=lambda a, b: a + b,
+                     init_fn=lambda: jnp.zeros((k_in, k_in), jnp.float32))
         if cfg is not None and cfg.lora_matches(self._path_str):
             # QAT LoRA (reference modules/qat/lora.py:34-55): fake-quantize
             # A and B, then the merged weight, every step.

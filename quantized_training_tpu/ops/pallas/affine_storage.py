@@ -36,7 +36,8 @@ from ...qspec import QuantizationSpec
 from ...quantize.fake_quant import _group_affine_qparams
 from ...quantize.ops import expand_scale
 
-__all__ = ["pack_affine_weights", "affine_matmul", "affine_spec"]
+__all__ = ["pack_affine_weights", "plane_pack", "affine_matmul",
+           "affine_spec"]
 
 
 def affine_spec(nbits: int, group_size: int) -> QuantizationSpec:
@@ -82,16 +83,33 @@ def pack_affine_weights(
         spec.quant_min, spec.quant_max,
     ).astype(jnp.int32)                               # (K, N), 0..2^nbits-1
 
+    return plane_pack(codes, sf, zp, nbits, group_size)
+
+
+def plane_pack(
+    codes: jax.Array, sf: jax.Array, zp: jax.Array,
+    nbits: int, group_size: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pack pre-computed uintN codes + group qparams into the kernel layout.
+
+    ``codes``: (K, N) integer codes in [0, 2^nbits); ``sf``/``zp``:
+    (K/group_size, N) group qparams.  Shared by :func:`pack_affine_weights`
+    (RTN) and the GPTQ path (quantize/gptq.py), whose codes come from
+    error-compensated rounding rather than round-to-nearest of the raw
+    weight, but land in the identical storage layout.
+    """
+    K, N = codes.shape
+    per = 8 // nbits
     kp = K // per
-    planes = codes.reshape(per, kp, N)
+    planes = jnp.asarray(codes, jnp.int32).reshape(per, kp, N)
     packed = jnp.zeros((kp, N), jnp.int32)
     for p in range(per):
         packed = packed | (planes[p] << (nbits * p))
     packed = packed.astype(jnp.int8)                  # bit pattern mod 256
 
     gp = kp // group_size
-    sf_planes = sf.astype(jnp.float32).reshape(per, gp, N)
-    zp_planes = zp.astype(jnp.float32).reshape(per, gp, N)
+    sf_planes = jnp.asarray(sf, jnp.float32).reshape(per, gp, N)
+    zp_planes = jnp.asarray(zp, jnp.float32).reshape(per, gp, N)
     return packed, sf_planes, zp_planes
 
 

@@ -22,6 +22,12 @@ from .ops import (
 )
 from .fold import fold_quantized_weights, strip_weight_specs
 from .storage import build_storage, STORAGE_FORMATS
+from .gptq import (
+    accumulate_gptq,
+    build_storage_gptq,
+    gptq_quantize,
+    hessian_from_inputs,
+)
 from .smooth import smoothing_scales, smooth_llama, calibrate_llama_amax
 from .config import (
     OpCategory,
@@ -57,6 +63,10 @@ __all__ = [
     "strip_weight_specs",
     "build_storage",
     "STORAGE_FORMATS",
+    "accumulate_gptq",
+    "build_storage_gptq",
+    "gptq_quantize",
+    "hessian_from_inputs",
     "smoothing_scales",
     "smooth_llama",
     "calibrate_llama_amax",
