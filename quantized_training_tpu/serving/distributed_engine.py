@@ -133,8 +133,9 @@ class DistributedEngine(ContinuousBatchingEngine):
 
             self._merge = merge
         from .generate import _sample
-        next_tok = _sample(logits[0, S - 1][None], prefill_rng,
-                           self.temperature, self.top_k)[0].astype(jnp.int32)
+        next_tok = _sample(
+            logits[0, S - 1][None], prefill_rng, self.temperature,
+            self.top_k, self.top_p)[0].astype(jnp.int32)
         self.cache, self.tokens = self._merge(
             self.cache, small, b, self.tokens, next_tok)
         self.slots[b].generated = [int(jax.device_get(next_tok))]

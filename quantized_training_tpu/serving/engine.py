@@ -46,6 +46,7 @@ class ContinuousBatchingEngine:
     def __init__(self, model, variables, *, batch_slots: int = 8,
                  eos_token_id: Optional[int] = None,
                  temperature: float = 0.0, top_k: Optional[int] = None,
+                 top_p: Optional[float] = None,
                  rng: Optional[jax.Array] = None):
         assert model.config.kv_cache is not None, "model needs a kv_cache"
         self.model = model
@@ -56,6 +57,7 @@ class ContinuousBatchingEngine:
         # sampling config (greedy when temperature == 0, like generate())
         self.temperature = float(temperature)
         self.top_k = top_k
+        self.top_p = top_p
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         cfg = model.config
         self.cache = None  # jax pytree {layer_path: QuantizedKVCache-like}
@@ -145,7 +147,7 @@ class ContinuousBatchingEngine:
         # last *real* token's logits (host-side gather; S is host-known)
         next_tok = int(np.asarray(_sample(
             logits[0, S - 1][None], prefill_rng, self.temperature,
-            self.top_k))[0])
+            self.top_k, self.top_p))[0])
         self.tokens = self.tokens.at[b, 0].set(next_tok)
         self.slots[b].generated = [next_tok]
 
@@ -172,6 +174,7 @@ class ContinuousBatchingEngine:
             return self._decode
         model, kcfg = self.model, self.kcfg
         temperature, top_k = self.temperature, self.top_k
+        top_p = self.top_p
 
         @partial(jax.jit, **self._decode_jit_kwargs())
         def decode(variables, cache, tokens, main_len, res_len, rng):
@@ -184,7 +187,7 @@ class ContinuousBatchingEngine:
                 positions=positions,
                 use_cache=True, mutable=["cache"])
             nxt = _sample(logits[:, -1], rng, temperature,
-                          top_k).astype(jnp.int32)
+                          top_k, top_p).astype(jnp.int32)
             return upd["cache"], nxt
 
         self._decode = decode

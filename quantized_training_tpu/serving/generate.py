@@ -7,7 +7,7 @@ llm_utils.py:501-596): prefill runs the model over the prompt and fills the
 cache (quantizing it when the model has a KIVI cache config); decode steps
 run one token at a time through a single jitted function.
 
-Sampling supports greedy, temperature, and top-k.
+Sampling supports greedy, temperature, top-k, and top-p (nucleus).
 """
 
 from functools import partial
@@ -37,7 +37,15 @@ def fast_argmax(logits: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.min(jnp.where(hit, idx, big), axis=axis)
 
 
-def _sample(logits, rng, temperature: float, top_k: Optional[int]):
+def _sample(logits, rng, temperature: float, top_k: Optional[int],
+            top_p: Optional[float] = None):
+    """Greedy (temperature 0) / temperature / top-k / top-p sampling.
+
+    Filters compose HF-style: top-k first, then nucleus within the
+    survivors.  On backends where a full-vocab sort compiles slowly (this
+    environment's decode programs), pass top_k alongside top_p — the sort
+    then runs over k candidates instead of the vocab.
+    """
     if temperature == 0.0:
         return fast_argmax(logits, axis=-1)
     logits = logits / temperature
@@ -45,6 +53,15 @@ def _sample(logits, rng, temperature: float, top_k: Optional[int]):
         top_vals, _ = jax.lax.top_k(logits, top_k)
         cutoff = top_vals[..., -1:]
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        srt = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose cumulative mass *before* them is < top_p, so the
+        # most-probable token always survives even when p(top1) > top_p
+        keep = (cum - probs) < top_p
+        kth = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True)
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
     return jax.random.categorical(rng, logits, axis=-1)
 
 
@@ -56,6 +73,7 @@ def generate(
     *,
     temperature: float = 0.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     rng: Optional[jax.Array] = None,
     eos_token_id: Optional[int] = None,
     host_loop: bool = False,
@@ -89,7 +107,7 @@ def generate(
     )
     cache = upd["cache"]
     rng, step_rng = jax.random.split(rng)
-    next_tok = _sample(logits[:, -1], step_rng, temperature, top_k)
+    next_tok = _sample(logits[:, -1], step_rng, temperature, top_k, top_p)
 
     def step(variables, cache, tok, pos, rng):
         # variables passed as an argument: closing over them would bake the
@@ -101,7 +119,7 @@ def generate(
             prompt_len=S if kivi else None, mutable=["cache"],
         )
         rng, step_rng = jax.random.split(rng)
-        nxt = _sample(logits[:, -1], step_rng, temperature, top_k)
+        nxt = _sample(logits[:, -1], step_rng, temperature, top_k, top_p)
         return upd["cache"], nxt, rng
 
     var_args = {k: v for k, v in variables.items() if k != "cache"}

@@ -366,6 +366,51 @@ class TestGenerate:
                         temperature=1.0, rng=jax.random.PRNGKey(2))
         assert not np.array_equal(np.asarray(out1), np.asarray(out2))
 
+    def test_top_p_nucleus_support(self):
+        # tokens outside the nucleus are never sampled; tokens inside keep
+        # their renormalized relative frequencies
+        from quantized_training_tpu.serving.generate import _sample
+        probs = np.asarray([0.45, 0.30, 0.15, 0.07, 0.03], np.float32)
+        logits = jnp.log(jnp.asarray(probs))[None, :]
+        draws = np.asarray(jax.vmap(
+            lambda k: _sample(logits, k, 1.0, None, 0.80)[0]
+        )(jax.random.split(jax.random.PRNGKey(0), 4000)))
+        counts = np.bincount(draws, minlength=5)
+        # nucleus at p=0.8: cumulative-before {0, .45, .75, .90} < 0.8 keeps
+        # tokens 0,1,2 only
+        assert counts[3] == 0 and counts[4] == 0, counts
+        freq = counts[:3] / counts[:3].sum()
+        np.testing.assert_allclose(freq, probs[:3] / probs[:3].sum(),
+                                   atol=0.03)
+
+    def test_top_p_keeps_top1_when_p_tiny(self):
+        from quantized_training_tpu.serving.generate import _sample
+        logits = jnp.log(jnp.asarray([[0.9, 0.06, 0.04]], jnp.float32))
+        toks = np.asarray(jax.vmap(
+            lambda k: _sample(logits, k, 1.0, None, 0.05)[0]
+        )(jax.random.split(jax.random.PRNGKey(1), 64)))
+        assert (toks == 0).all()
+
+    def test_top_p_composes_with_top_k(self):
+        # top-k prunes first, nucleus applies within the survivors
+        from quantized_training_tpu.serving.generate import _sample
+        probs = np.asarray([0.35, 0.30, 0.20, 0.10, 0.05], np.float32)
+        logits = jnp.log(jnp.asarray(probs))[None, :]
+        draws = np.asarray(jax.vmap(
+            lambda k: _sample(logits, k, 1.0, 3, 0.99)[0]
+        )(jax.random.split(jax.random.PRNGKey(2), 2000)))
+        counts = np.bincount(draws, minlength=5)
+        assert counts[3] == 0 and counts[4] == 0, counts
+        assert (counts[:3] > 0).all()
+
+    def test_generate_with_top_p(self):
+        model = LlamaForCausalLM(self.cfg_fp, None)
+        vars_ = model.init(jax.random.PRNGKey(0), self.ids)
+        out = generate(model, vars_, self.ids, max_new_tokens=4,
+                       temperature=0.8, top_p=0.9,
+                       rng=jax.random.PRNGKey(3))
+        assert out.shape == (self.ids.shape[0], self.ids.shape[1] + 4)
+
 
 class TestFlashInModel:
     def test_flash_matches_naive_model(self):
