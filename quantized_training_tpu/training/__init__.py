@@ -1,5 +1,6 @@
-"""Training: jitted QAT train steps, losses, checkpointing."""
+"""Training: jitted QAT train steps, losses, checkpointing, 8-bit Adam."""
 
+from .optim8bit import adam8bit, scale_by_adam8bit, state_nbytes
 from .trainer import (
     TrainState,
     make_train_step,
@@ -18,4 +19,7 @@ __all__ = [
     "classification_loss",
     "save_checkpoint",
     "restore_checkpoint",
+    "adam8bit",
+    "scale_by_adam8bit",
+    "state_nbytes",
 ]

@@ -1,0 +1,165 @@
+"""8-bit blockwise Adam (training/optim8bit.py).
+
+Contracts: quant/dequant round-trip error is bounded by the block code
+resolution; the optimizer tracks exact f32 Adam on a real training loss;
+large-leaf state really is int8 (~4x smaller); small leaves stay exact;
+the whole thing jits and checkpoints.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from quantized_training_tpu.training import (
+    adam8bit, scale_by_adam8bit, state_nbytes,
+)
+from quantized_training_tpu.training.optim8bit import (
+    _dequantize_signed, _dequantize_sqrt, _quantize_signed, _quantize_sqrt,
+)
+
+
+class TestMomentCodecs:
+    def test_signed_roundtrip_bound(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(10_240), jnp.float32) * 0.01
+        codes, scale = _quantize_signed(x, 256)
+        back = _dequantize_signed(codes, scale, x.shape)
+        blocks = np.asarray(x).reshape(-1, 256)
+        bound = np.abs(blocks).max(axis=1, keepdims=True) / 127.0 * 0.5 + 1e-9
+        err = np.abs(np.asarray(back) - np.asarray(x)).reshape(-1, 256)
+        assert (err <= bound + 1e-7).all()
+
+    def test_sqrt_roundtrip_relative(self):
+        rng = np.random.default_rng(1)
+        # v-like values: squared gradients spanning orders of magnitude
+        x = jnp.asarray(rng.standard_normal(8192) ** 2, jnp.float32) * 1e-4
+        codes, scale = _quantize_sqrt(x, 256)
+        back = np.asarray(_dequantize_sqrt(codes, scale, x.shape))
+        xs = np.asarray(x)
+        big = xs > xs.max() * 1e-2
+        rel = np.abs(back[big] - xs[big]) / xs[big]
+        assert rel.max() < 0.05, rel.max()  # sqrt code: ~2/255 per step
+        assert (back >= 0).all()
+
+    def test_non_multiple_block_padding(self):
+        x = jnp.arange(100, dtype=jnp.float32) - 50.0
+        codes, scale = _quantize_signed(x, 64)
+        back = _dequantize_signed(codes, scale, x.shape)
+        assert back.shape == x.shape
+        assert float(jnp.max(jnp.abs(back - x))) <= float(
+            jnp.max(jnp.abs(x))) / 127.0 * 0.5 + 1e-6
+
+    def test_zero_block_stable(self):
+        x = jnp.zeros(512, jnp.float32)
+        for q, d in ((_quantize_signed, _dequantize_signed),
+                     (_quantize_sqrt, _dequantize_sqrt)):
+            codes, scale = q(x, 256)
+            np.testing.assert_array_equal(np.asarray(d(codes, scale,
+                                                       x.shape)), 0.0)
+
+
+class TestAdam8bit:
+    def _loss_and_params(self, seed=0):
+        rng = np.random.default_rng(seed)
+        K, N = 64, 8192 // 64  # one big kernel leaf (8192 elems) + a bias
+        params = {
+            "kernel": jnp.asarray(rng.standard_normal((K, N)) * 0.1,
+                                  jnp.float32),
+            "bias": jnp.zeros((N,), jnp.float32),
+        }
+        x = jnp.asarray(rng.standard_normal((256, K)), jnp.float32)
+        w_true = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.float32)
+        y = x @ w_true
+
+        def loss(p):
+            pred = x @ p["kernel"] + p["bias"]
+            return jnp.mean((pred - y) ** 2)
+
+        return loss, params
+
+    def test_tracks_f32_adam(self):
+        loss, params0 = self._loss_and_params()
+        lr = 1e-2
+
+        def run(tx, steps=80):
+            @jax.jit
+            def step(p, st):
+                g = jax.grad(loss)(p)
+                u, st2 = tx.update(g, st, p)
+                return optax.apply_updates(p, u), st2
+
+            p, st = params0, tx.init(params0)
+            for _ in range(steps):
+                p, st = step(p, st)
+            return float(loss(p))
+
+        l8 = run(adam8bit(lr, block_size=256, min_8bit_size=1024))
+        l32 = run(optax.adam(lr))
+        # both converge; the 8-bit state costs at most a few percent of the
+        # achieved loss reduction
+        l0 = float(loss(params0))
+        assert l8 < 0.5 * l0, (l8, l0)
+        assert abs(l8 - l32) < 0.05 * (l0 - l32) + 1e-6, (l8, l32, l0)
+
+    def test_large_leaf_state_is_int8_and_small(self):
+        loss, params = self._loss_and_params()
+        tx = scale_by_adam8bit(block_size=256, min_8bit_size=1024)
+        st = tx.init(params)
+        k_mu = st.mu["kernel"]
+        assert k_mu.codes.dtype == jnp.int8
+        assert st.nu["kernel"].codes.dtype == jnp.uint8
+        # bias is small -> exact f32
+        assert st.mu["bias"].codes.dtype == jnp.float32
+
+        f32_bytes = 2 * sum(l.size * 4
+                            for l in jax.tree_util.tree_leaves(params))
+        got = state_nbytes(st) - 4  # count scalar
+        # kernel moments: 8192 codes + 32 scales each; bias f32: ~4x win
+        assert got < f32_bytes / 2.8, (got, f32_bytes)
+
+    def test_update_jits_with_fixed_shapes(self):
+        loss, params = self._loss_and_params()
+        tx = adam8bit(1e-3, min_8bit_size=1024)
+        st = tx.init(params)
+
+        @jax.jit
+        def step(p, st):
+            u, st2 = tx.update(jax.grad(loss)(p), st, p)
+            return optax.apply_updates(p, u), st2
+
+        p, st = step(params, st)
+        p, st = step(p, st)  # no retrace errors; shapes static
+        assert jax.tree_util.tree_structure(st) is not None
+
+    def test_weight_decay_path(self):
+        loss, params = self._loss_and_params()
+        tx = adam8bit(1e-2, weight_decay=0.01, min_8bit_size=1024)
+        st = tx.init(params)
+        g = jax.grad(loss)(params)
+        u, _ = tx.update(g, st, params)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(u))
+
+    def test_trainer_integration(self):
+        # drop-in for optax.adam in the TrainState flow
+        from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+        from quantized_training_tpu.training import (
+            TrainState, causal_lm_loss, make_train_step,
+        )
+        cfg = LlamaConfig.tiny()
+        model = LlamaForCausalLM(cfg, None)
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(1, 128, (2, 16)), jnp.int32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+        tx = adam8bit(1e-3, min_8bit_size=1024)
+        state = TrainState.create(model, variables, tx)
+        step = make_train_step(model, tx, causal_lm_loss)
+        losses = []
+        for _ in range(3):
+            state, loss = step(state, {"input_ids": ids})
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
