@@ -49,9 +49,13 @@ _COLLECTIVE_OPS = {
 
 # One HLO instruction: ``[ROOT] %name = type opname(...), attrs``.  The
 # optimized dump prefixes names with ``%``; ``as_hlo_text()`` of the
-# unoptimized module does not — both are accepted.
+# unoptimized module does not — both are accepted.  The type may be a tuple
+# ``(s32[], f32[8]{0})`` — ``while``/``tuple``/stateful custom-calls carry
+# these, and every decode program has a while — so the type group must
+# swallow (possibly nested) parens, not just ``\S+``.
 _INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\S+)\s+([\w\-]+)\(")
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*"
+    r"(\((?:[^()]|\([^()]*\))*\)|\S+)\s+([\w\-]+)\(")
 # Computation header: ``ENTRY %main.2 (args) -> type {`` or ``name.3 {``
 _COMPUTATION_RE = re.compile(r"^(ENTRY\s+)?%?([\w.\-]+)\s*(\(.*)?\{\s*$")
 

@@ -297,10 +297,14 @@ class QDense(nn.Module, QuantMixin):
         kernel = kernel.astype(self.dtype)
         if not self.skip_input_quant:
             x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
-        if self.is_mutable_collection("gptq"):
+        if self.is_mutable_collection("gptq") and not self.is_initializing():
             # GPTQ calibration (quantize/gptq.py): accumulate this layer's
             # input Hessian X^T X of the (post-input-quant) matmul operand.
-            # Only runs when the caller asked for mutable=["gptq"].
+            # Only runs when the caller asked for mutable=["gptq"]; the
+            # is_initializing() guard matters because flax init makes every
+            # collection mutable — without it each model.init would
+            # materialize K x K Hessians per QDense (gigabytes at real
+            # model sizes) and ship them inside `variables` forever.
             x2 = x.astype(jnp.float32).reshape(-1, x.shape[-1])
             k_in = x.shape[-1]
             self.sow("gptq", "hessian", x2.T @ x2,
@@ -344,9 +348,13 @@ class QDense(nn.Module, QuantMixin):
             from ..ops.pallas.posit_storage import posit_matmul
             y = posit_matmul(x2, codes)
         elif fmt == "mx8":
-            from ..ops.pallas.mx_storage import mx_matmul
+            # the SPMD-partitionable wrapper, not bare mx_matmul: under pjit
+            # the opaque pallas custom call would force the Megatron-sharded
+            # codes to all-gather; the custom_partitioning rule keeps them
+            # sharded (column: per-shard GEMM, row: partials + one psum)
+            from ..ops.pallas.mx_storage import mx_matmul_sharded
             scales = self.get_variable("storage", "scales")
-            y = mx_matmul(x2, codes, scales, block_size=group)
+            y = mx_matmul_sharded(x2, codes, scales, block_size=group)
         else:
             from ..ops.pallas.affine_storage import affine_matmul
             nbits = 4 if fmt == "w4a16" else 2

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import resolve_interpret
+
 from ...numerics.bitutils import clamp_keep_zero_sign, materialize_rounding
 from ...qspec import QuantizationSpec
 from ...quantize.fake_quant import _group_affine_qparams
@@ -181,10 +183,7 @@ def affine_matmul(
     assert kp * per == K, (packed.shape, x.shape, nbits)
     out_dtype = out_dtype or x.dtype
 
-    if interpret is None:
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        interpret = platform != "tpu"
+    interpret = resolve_interpret(interpret)
 
     if block_m is None or block_n is None or block_k is None:
         from .autotune import storage_matmul_blocks

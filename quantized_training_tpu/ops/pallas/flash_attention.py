@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import resolve_interpret
+
 __all__ = ["flash_attention"]
 
 NEG_INF = -2.0 ** 30  # large-but-safe additive mask (bf16/posit friendly)
@@ -356,12 +358,7 @@ def flash_attention(
 
     if scale is None:
         scale = 1.0 / math.sqrt(D)
-    if interpret is None:
-        # Respect an explicitly pinned default device (tests pin CPU even
-        # when a TPU plugin also registered).
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        interpret = platform != "tpu"
+    interpret = resolve_interpret(interpret)
 
     # VMEM-budget block selection (autotune.py; measured sweet spot is
     # (1024, 1024) on v5e — 1.8x over the old fixed (256, 512)).

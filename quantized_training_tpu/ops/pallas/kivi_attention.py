@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import mesh_axis_size as _axis_size, resolve_interpret
+
 __all__ = ["kivi_decode_attention"]
 
 NEG_INF = -2.0 ** 30
@@ -159,10 +161,7 @@ def _decode_attention_local(
 
     if scale is None:
         scale = 1.0 / math.sqrt(D)
-    if interpret is None:
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        interpret = platform != "tpu"
+    interpret = resolve_interpret(interpret)
 
     kernel = functools.partial(
         _kernel, scale=scale, P=P, bits_k=bits_k, bits_v=bits_v,
@@ -232,17 +231,6 @@ _SDY_RULE = (
     "b h d, b k tk d, b k gk d, b k gk d, b k tv d, b k tf gv, b k tf gv, "
     "b k r d, b k r d, b, b -> b h d"
 )
-
-
-def _axis_size(mesh, ax) -> int:
-    if ax is None:
-        return 1
-    if isinstance(ax, (tuple, list)):
-        n = 1
-        for a in ax:
-            n *= mesh.shape[a]
-        return n
-    return mesh.shape[ax]
 
 
 @functools.lru_cache(maxsize=None)
@@ -324,10 +312,7 @@ def kivi_decode_attention(
     B, H, D = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(D)
-    if interpret is None:
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        interpret = platform != "tpu"
+    interpret = resolve_interpret(interpret)
     return _partitioned_decode(bits_k, bits_v, float(scale), bool(interpret))(
         q, k_codes, k_scale, k_zp, v_codes, v_scale, v_zp,
         k_res, v_res, main_len, res_len)

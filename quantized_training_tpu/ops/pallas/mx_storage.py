@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import mesh_axis_size as _axis_size, resolve_interpret
+
 from ...quantize.ops import calculate_mx_qparam, expand_scale
 from ...numerics import quantize_fn
 
@@ -91,10 +93,7 @@ def mx_matmul(
     assert K == K2
     out_dtype = out_dtype or x.dtype
 
-    if interpret is None:
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        interpret = platform != "tpu"
+    interpret = resolve_interpret(interpret)
 
     if block_m is None or block_n is None or block_k is None:
         from .autotune import storage_matmul_blocks
@@ -151,17 +150,6 @@ def mx_matmul(
 # partial products and one psum.  Same construction as the fused KIVI decode
 # kernel's rule (kivi_attention.py).
 # ---------------------------------------------------------------------------
-
-def _axis_size(mesh, ax) -> int:
-    if ax is None:
-        return 1
-    if isinstance(ax, (tuple, list)):
-        n = 1
-        for a in ax:
-            n *= mesh.shape[a]
-        return n
-    return mesh.shape[ax]
-
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_mx_matmul(block_size, out_dtype_name, interpret):
@@ -247,9 +235,6 @@ def mx_matmul_sharded(
     Megatron-sharded codes stay sharded (column: per-shard GEMM; row:
     partial GEMM + one psum) instead of being all-gathered."""
     out_dtype = jnp.dtype(out_dtype or x.dtype)
-    if interpret is None:
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        interpret = platform != "tpu"
+    interpret = resolve_interpret(interpret)
     return _partitioned_mx_matmul(block_size, out_dtype.name,
                                   bool(interpret))(x, w_codes, w_scales)

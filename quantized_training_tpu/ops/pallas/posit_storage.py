@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import resolve_interpret
+
 from ...numerics.posit import decode_posit, encode_posit
 
 __all__ = ["pack_posit_weights", "posit_matmul"]
@@ -75,10 +77,7 @@ def posit_matmul(
     assert K == K2
     out_dtype = out_dtype or x.dtype
 
-    if interpret is None:
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        interpret = platform != "tpu"
+    interpret = resolve_interpret(interpret)
 
     if block_m is None or block_n is None or block_k is None:
         from .autotune import storage_matmul_blocks

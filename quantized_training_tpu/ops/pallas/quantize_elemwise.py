@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import resolve_interpret
+
 __all__ = ["pallas_quantize", "pallas_quantize_eligible"]
 
 
@@ -63,10 +65,7 @@ def pallas_quantize(
     input is viewed as (lead, last); blocks are shrunk to fit and the kernel
     falls back to plain ``qfn(x)`` when the view doesn't tile.
     """
-    if interpret is None:
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        interpret = platform != "tpu"
+    interpret = resolve_interpret(interpret)
 
     if not pallas_quantize_eligible(x):
         return qfn(x)

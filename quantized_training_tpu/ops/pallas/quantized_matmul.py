@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import resolve_interpret
+
 __all__ = ["quantized_matmul"]
 
 
@@ -89,10 +91,7 @@ def quantized_matmul(
     if w_qfn is not None:
         w = w + jax.lax.stop_gradient(w_qfn(w) - w)
 
-    if interpret is None:
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        interpret = platform != "tpu"
+    interpret = resolve_interpret(interpret)
 
     block_m = min(block_m, M)
     block_n = min(block_n, N)

@@ -25,10 +25,14 @@ forward/backward compute quantization, reference fake_quantize.py;
 gradient *communication* quantization lives in parallel/grad_compress.py)
 to the third pillar, optimizer state.
 
-Sharding: the code/scale trees mirror the param tree with an extra trailing
-block structure on a flattened view; leaves shard exactly like f32 Adam
-state would (rule by param name), and everything is jit/pjit-traceable
-(static shapes, no host callbacks).
+Sharding: moment leaves are *flattened* — codes are (nblocks, block_size)
+and scales (nblocks,), NOT param-shaped — so dimension-based f32-Adam
+PartitionSpecs do not transfer.  Under pjit either replicate the optimizer
+state (it is 4x smaller than f32 state, which is often exactly the point),
+or shard codes and scales together on their leading block axis
+(``P("data")`` rows), which never splits a quantization block across
+devices.  Everything is jit/pjit-traceable (static shapes, no host
+callbacks).
 """
 
 from typing import NamedTuple, Optional

@@ -61,6 +61,27 @@ class TestGraphDot:
         # pre-fusion: the quantizer's bit ops are visible individually
         assert "bitcast-convert" in dot or "shift-right" in dot
 
+    def test_tuple_typed_instructions_kept(self):
+        # while loops (every decode program has one) are tuple-typed; the
+        # parser must keep them and their edges
+        def fn(x):
+            def body(c):
+                i, v = c
+                return i + 1, v * 1.5
+            return jax.lax.while_loop(lambda c: c[0] < 4, body,
+                                      (jnp.int32(0), x))[1]
+
+        dot = export_graph_dot(fn, (jnp.ones((8, 8), jnp.float32),))
+        # the loop shows up as a tuple-typed while (TPU) or call (CPU's
+        # small-call wrapping); either way the node and its edges must exist
+        import re
+        m = re.search(r'"([\w.\-]+)" \[label="(?:while|call)', dot)
+        assert m, dot
+        name = m.group(1)
+        assert (f'-> "{name}";' in dot or f'"{name}" ->' in dot), dot
+        # its tuple operand survived too
+        assert 'label="tuple' in dot, dot
+
     def test_fusion_label_and_balanced_quotes(self):
         fn = lambda x, w: jnp.round(
             jnp.maximum(jnp.dot(x, w, preferred_element_type=jnp.float32), 0)

@@ -133,10 +133,13 @@ class TestGptqPipeline:
         ids = jnp.asarray(rng.integers(0, 256, (2, 16)), jnp.int32)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
 
+        # enough calibration tokens to make the 256-dim Hessians full-rank
+        # (rank-deficient H lets GPTQ shift error into unobserved input
+        # directions that fresh eval data then hits)
         hessians = None
-        for seed in (1, 2):
+        for seed in range(1, 9):
             batch = jnp.asarray(
-                np.random.default_rng(seed).integers(0, 256, (2, 16)),
+                np.random.default_rng(seed).integers(0, 256, (4, 16)),
                 jnp.int32)
             _, col = model.apply(variables, batch, mutable=["gptq"])
             hessians = accumulate_gptq(hessians, col["gptq"])

@@ -41,32 +41,33 @@ def run_sync(xs, nbits, errors):
     return np.asarray(out), np.asarray(err)
 
 
-def simulate(xs, nbits, errors):
+def simulate(xs, nbits, errors, block=512):
     """Bit-faithful numpy model of the two-phase schedule."""
     qmax = 2 ** (nbits - 1) - 1
     n, shape = xs.shape[0], xs.shape[1:]
     size = int(np.prod(shape))
-    mult = n * (2 if nbits == 4 else 1)
+    mult = n * block
     L = -(-size // mult) * mult
 
-    def quant_rows(a):
-        amax = np.abs(a).max(axis=1, keepdims=True)
+    def deq_blocks(a):
+        # quantize per block and return the dequantized values directly
+        R, Lr = a.shape
+        ab = a.reshape(R, Lr // block, block)
+        amax = np.abs(ab).max(axis=2, keepdims=True)
         scale = np.where(amax > 0, amax / qmax, 1.0)
-        return np.round(a / scale), scale
+        return (np.round(ab / scale) * scale).reshape(R, Lr)
 
     chunks, deqs = [], []
     for d in range(n):
         g = xs[d].astype(np.float32).ravel() + errors[d].ravel()
         flat = np.pad(g, (0, L - size)).reshape(n, L // n)
-        codes, scale = quant_rows(flat)
         chunks.append(flat)
-        deqs.append(codes * scale)
+        deqs.append(deq_blocks(flat))
     outs, errs = [], []
     summed = [sum(deqs[d][c] for d in range(n)) for c in range(n)]
-    deq2, parts = [], []
+    deq2 = []
     for c in range(n):
-        codes2, scale2 = quant_rows(summed[c][None])
-        deq2.append((codes2 * scale2)[0])
+        deq2.append(deq_blocks(summed[c][None])[0])
     full = np.concatenate(deq2)[:size] / n
     for d in range(n):
         e = chunks[d] - deqs[d]
@@ -144,8 +145,8 @@ class TestCompressedAllreduce:
             mesh=mesh, in_specs=(P("data"),), out_specs=P("data"),
             check_vma=False))
         out = fn(grads)
-        # bucket fusion: chunk scales span the fused buffer, so bound by the
-        # global amax; one EF-less round stays within one quantization step
+        # block-local scales: one EF-less round stays within a quantization
+        # step of the *block* amax, which the global amax upper-bounds
         gmax = max(np.abs(np.asarray(g)).max() for g in grads.values())
         for k in grads:
             ref = np.asarray(grads[k]).mean(axis=0)
@@ -157,3 +158,29 @@ class TestCompressedAllreduce:
         n_a2a = sum(1 for l in hlo.splitlines()
                     if " all-to-all(" in l and "s8[" in l)
         assert n_a2a == 1, f"expected one fused s8 all-to-all, got {n_a2a}"
+
+
+    def test_small_leaf_not_zeroed_by_bucket_fusion(self):
+        # a tiny-magnitude leaf sharing the fused buffer with a huge one
+        # must keep its own block-local scale: without per-block scales the
+        # bucket amax (~1.0) makes every tiny code round to zero
+        rng = np.random.default_rng(7)
+        big = rng.standard_normal((N, 4096)).astype(np.float32)
+        tiny = (rng.standard_normal((N, 4096)) * 1e-5).astype(np.float32)
+        grads = {"a_big": jnp.asarray(big), "z_tiny": jnp.asarray(tiny)}
+        mesh = mesh8()
+        fn = jax.jit(shard_map(
+            lambda g: jax.tree_util.tree_map(
+                lambda a: a[None],
+                compressed_grad_sync(
+                    jax.tree_util.tree_map(lambda a: a[0], g), "data")[0]),
+            mesh=mesh, in_specs=(P("data"),), out_specs=P("data"),
+            check_vma=False))
+        out = fn(grads)
+        ref = tiny.mean(axis=0)
+        got = np.asarray(out["z_tiny"][0])
+        assert np.abs(got).max() > 0, "tiny leaf quantized to all-zero"
+        # bounded by the tiny leaf's own amax, not the big leaf's
+        err = np.abs(got - ref).max()
+        assert err < 2 * np.abs(tiny).max() / 127, (
+            err, np.abs(tiny).max() / 127)

@@ -217,7 +217,7 @@ class TestBuildStorage:
             shard_rules_llama, shard_rules_llama_storage,
         )
         cfg, variables, ids = base
-        for fmt in ("posit8", "w4a16"):
+        for fmt in ("posit8", "w4a16", "mx8"):
             storage, slim = build_storage(variables["params"], fmt, 64)
             st_model = LlamaForCausalLM(
                 cfg, QuantConfig().with_storage(fmt, 64))
