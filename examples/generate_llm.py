@@ -33,7 +33,8 @@ def main():
                         choices=[None, "uint2", "uint4", "uint8"],
                         help="KIVI-quantize the KV cache at this width")
     parser.add_argument("--storage", default=None,
-                        choices=[None, "posit8", "mx8", "w4a16", "w2a16"],
+                        choices=[None, "posit8", "mx8", "w4a16", "w2a16",
+                                 "w8a8"],
                         help="serve with packed weight storage: kernels are "
                              "converted offline and the bf16 weights never "
                              "reach the device (quantize/storage.py)")

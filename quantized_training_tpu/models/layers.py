@@ -355,6 +355,12 @@ class QDense(nn.Module, QuantMixin):
             from ..ops.pallas.mx_storage import mx_matmul_sharded
             scales = self.get_variable("storage", "scales")
             y = mx_matmul_sharded(x2, codes, scales, block_size=group)
+        elif fmt == "w8a8":
+            # native integer GEMM: dynamic per-token activation quant is
+            # inside the op (no separate activation fake-quant at this site)
+            from ..ops.int8_matmul import w8a8_matmul
+            scale = self.get_variable("storage", "scales")
+            y = w8a8_matmul(x2, codes, scale)
         else:
             from ..ops.pallas.affine_storage import affine_matmul
             nbits = 4 if fmt == "w4a16" else 2

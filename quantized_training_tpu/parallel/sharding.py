@@ -79,8 +79,14 @@ def shard_rules_llama_storage(fmt: str = "posit8") -> Rules:
     input dim; group qparams shard with their codes.  The sub-byte formats'
     qparams are 3-D (plane, group, out), hence the per-format specs."""
     m = MODEL_AXIS
-    col_q = P(None, None, m) if fmt in ("w4a16", "w2a16") else P(None, m)
-    row_q = P(None, m, None) if fmt in ("w4a16", "w2a16") else P(m, None)
+    if fmt == "w8a8":
+        # per-output-channel (N,) scales: shard with the output dim on
+        # column-parallel layers, replicate on row-parallel (N unsharded)
+        col_q, row_q = P(m), P()
+    elif fmt in ("w4a16", "w2a16"):
+        col_q, row_q = P(None, None, m), P(None, m, None)
+    else:
+        col_q, row_q = P(None, m), P(m, None)
     return (
         (r"\.(q_proj|k_proj|v_proj|gate_proj|up_proj|lm_head)\.codes$",
          P(None, m)),

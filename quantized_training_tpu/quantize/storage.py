@@ -32,6 +32,12 @@ The packed dequant matches the corresponding weight fake-quant exactly:
     mx8     ≡ ``int8,qs=microscaling,bs=G``   (1 B + shared scales)
     w4a16   ≡ ``uint4,qs=group_wise_affine``  (0.5 B + scale/zp)
     w2a16   ≡ ``uint2,qs=group_wise_affine``  (0.25 B + scale/zp)
+    w8a8    ≡ ``int8,qs=per_channel_symmetric`` weights x dynamic per-token
+              int8 activations, evaluated NATIVELY on the s8 x s8 -> s32 MXU
+              path (ops/int8_matmul.py) — the only format whose GEMM runs
+              *faster* than bf16 (2x MXU throughput), not just smaller;
+              activation rounding happens inside the op, so configure no
+              separate activation spec at gemm sites
 """
 
 from typing import Any, Dict, Optional, Tuple
@@ -41,7 +47,7 @@ import jax.numpy as jnp
 
 __all__ = ["build_storage", "STORAGE_FORMATS"]
 
-STORAGE_FORMATS = ("posit8", "mx8", "w4a16", "w2a16")
+STORAGE_FORMATS = ("posit8", "mx8", "w4a16", "w2a16", "w8a8")
 
 
 def _pack_kernel(w: jax.Array, fmt: str, group: int) -> Dict[str, jax.Array]:
@@ -60,6 +66,10 @@ def _pack_kernel(w: jax.Array, fmt: str, group: int) -> Dict[str, jax.Array]:
         nbits = 4 if fmt == "w4a16" else 2
         codes, sf, zp = pack_affine_weights(w, nbits, group)
         return {"codes": codes, "scales": sf, "zero_points": zp}
+    if fmt == "w8a8":
+        from ..ops.int8_matmul import pack_int8_weights
+        codes, scale = pack_int8_weights(w)
+        return {"codes": codes, "scales": scale}
     raise ValueError(f"unknown storage format {fmt!r}; "
                      f"expected one of {STORAGE_FORMATS}")
 

@@ -124,6 +124,52 @@ class TestBuildStorage:
                        prompt, 8)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_w8a8_native_integer_serving(self, base):
+        # the w8a8 format runs the GEMMs natively on the s8 x s8 -> s32 MXU
+        # path: codes are int8, logits track the float model, and the
+        # compiled forward contains integer dots (not dequant + fp dot)
+        cfg, variables, ids = base
+        storage, slim = build_storage(variables["params"], "w8a8", 64)
+        leaves = jax.tree_util.tree_leaves_with_path(storage)
+        code_dtypes = {str(l.dtype) for p, l in leaves
+                       if getattr(p[-1], "key", None) == "codes"}
+        assert code_dtypes == {"int8"}
+        scale_ranks = {l.ndim for p, l in leaves
+                       if getattr(p[-1], "key", None) == "scales"}
+        assert scale_ranks == {1}
+
+        st_model = LlamaForCausalLM(
+            cfg, QuantConfig().with_storage("w8a8", 64))
+        fwd = jax.jit(lambda v, i: st_model.apply(v, i))
+        out = fwd({"params": slim, "storage": storage}, ids)
+        ref = LlamaForCausalLM(cfg, None).apply(variables, ids)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        # int8 weights + dynamic int8 activations: expect small logit drift
+        err = np.abs(np.asarray(out, np.float32)
+                     - np.asarray(ref, np.float32)).mean()
+        mag = np.abs(np.asarray(ref, np.float32)).mean()
+        assert err < 0.15 * mag, (err, mag)
+
+        hlo = fwd.lower({"params": slim, "storage": storage},
+                        ids).compile().as_text()
+        # an s32-producing dot is necessarily an integer dot (fp dots cannot
+        # accumulate to s32); operand dtypes don't appear on optimized HLO
+        # instruction lines
+        int_dots = [l for l in hlo.splitlines()
+                    if " dot(" in l and "= s32[" in l]
+        assert int_dots, "no integer-accumulating dot in the compiled forward"
+
+    def test_w8a8_generate(self, base):
+        cfg, variables, _ = base
+        storage, slim = build_storage(variables["params"], "w8a8", 64)
+        st_model = LlamaForCausalLM(
+            cfg, QuantConfig().with_storage("w8a8", 64))
+        prompt = jnp.asarray(
+            np.random.default_rng(9).integers(0, 256, (1, 9)), jnp.int32)
+        out = generate(st_model, {"params": slim, "storage": storage},
+                       prompt, 6)
+        assert out.shape == (1, 15)
+
     def test_ineligible_kernel_stays_dense(self):
         # a contraction dim not divisible by per*group keeps its kernel
         from quantized_training_tpu.quantize.storage import build_storage
@@ -217,7 +263,7 @@ class TestBuildStorage:
             shard_rules_llama, shard_rules_llama_storage,
         )
         cfg, variables, ids = base
-        for fmt in ("posit8", "w4a16", "mx8"):
+        for fmt in ("posit8", "w4a16", "mx8", "w8a8"):
             storage, slim = build_storage(variables["params"], fmt, 64)
             st_model = LlamaForCausalLM(
                 cfg, QuantConfig().with_storage(fmt, 64))
