@@ -144,7 +144,7 @@ def storage_decode_bench(rng, fp_ms):
     kernels' standalone byte-ratio wins end-to-end."""
     from quantized_training_tpu.quantize import QuantConfig, build_storage
 
-    for fmt, group in (("mx8", 64), ("w4a16", 64)):
+    for fmt, group in (("mx8", 64), ("w4a16", 64), ("w8a8", 64)):
         model, cfg = build("fp")
         st_model = type(model)(cfg, QuantConfig().with_storage(fmt, group))
         ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 512)))

@@ -136,6 +136,23 @@ def main():
         "metric": "w4a16_vs_bf16_decode_speedup",
         "value": round(t_bf / t_w4, 2), "unit": "x"}))
 
+    # Compute-bound shape (prefill: M=4096): here the win is MXU throughput,
+    # not bytes — v5e peaks ~394 TOPS int8 vs ~197 TFLOP/s bf16, so w8a8
+    # can exceed 1x even with the activations quantized on the fly.
+    xl = jnp.asarray(rng.normal(size=(4096, K)), jnp.bfloat16)
+    t_bf_l = timed(mlp_bf16, xl, ws, ws2)
+    t_i8_l = timed(mlp_w8a8, xl, packed_i8, packed2_i8)
+    flops = 2 * L * 2 * 4096 * K * N
+    print(json.dumps({
+        "metric": "mlp8L_prefill_bf16_ms", "value": round(t_bf_l * 1e3, 3),
+        "unit": "ms", "tflops": round(flops / t_bf_l / 1e12, 1)}))
+    print(json.dumps({
+        "metric": "mlp8L_prefill_w8a8_ms", "value": round(t_i8_l * 1e3, 3),
+        "unit": "ms", "tflops": round(flops / t_i8_l / 1e12, 1)}))
+    print(json.dumps({
+        "metric": "w8a8_vs_bf16_prefill_speedup",
+        "value": round(t_bf_l / t_i8_l, 2), "unit": "x"}))
+
 
 if __name__ == "__main__":
     main()
