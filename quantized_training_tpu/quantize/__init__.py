@@ -28,7 +28,8 @@ from .gptq import (
     gptq_quantize,
     hessian_from_inputs,
 )
-from .smooth import smoothing_scales, smooth_llama, calibrate_llama_amax
+from .smooth import (smoothing_scales, smooth_llama,
+                     calibrate_llama_amax, awq_search_llama)
 from .config import (
     OpCategory,
     QConfig,
@@ -70,4 +71,5 @@ __all__ = [
     "smoothing_scales",
     "smooth_llama",
     "calibrate_llama_amax",
+    "awq_search_llama",
 ]

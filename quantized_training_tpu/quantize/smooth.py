@@ -28,13 +28,14 @@ balance (alpha = 0.5 default) comes from per-channel calibration amaxes;
 (no graph surgery).
 """
 
-from typing import Dict, Tuple
+from typing import Dict, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["smoothing_scales", "smooth_llama", "calibrate_llama_amax"]
+__all__ = ["smoothing_scales", "smooth_llama", "calibrate_llama_amax",
+           "awq_search_llama"]
 
 
 def smoothing_scales(act_amax: jax.Array, w_amax: jax.Array,
@@ -77,7 +78,7 @@ def calibrate_llama_amax(model, variables, batches) -> Dict[str, jax.Array]:
 
 
 def smooth_llama(params, act_amax: Dict[str, jax.Array],
-                 alpha: float = 0.5):
+                 alpha: Union[float, Dict[str, float]] = 0.5):
     """Fold smoothing scales into a LlamaForCausalLM params tree.
 
     For every decoder layer: ``input_layernorm.scale /= s_attn`` with
@@ -85,8 +86,12 @@ def smooth_llama(params, act_amax: Dict[str, jax.Array],
     ``post_attention_layernorm.scale /= s_mlp`` into gate/up rows.  The fp
     forward is unchanged (exact linear identity, tested); per-tensor
     activation quantization error drops on outlier-heavy channels.
+    ``alpha`` may be a single migration strength or a per-site dict
+    (``{"layers_i.attn": a, ...}``, e.g. from :func:`awq_search_llama`).
     Returns (smoothed_params, scales_dict).
     """
+    def _alpha(key):
+        return alpha.get(key, 0.5) if isinstance(alpha, dict) else alpha
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
     model = dict(params["model"])
     scales = {}
@@ -105,7 +110,7 @@ def smooth_llama(params, act_amax: Dict[str, jax.Array],
                 jnp.maximum(
                     jnp.max(jnp.abs(attn["k_proj"]["kernel"]), axis=1),
                     jnp.max(jnp.abs(attn["v_proj"]["kernel"]), axis=1)))
-            s = smoothing_scales(act_amax[k], w_amax, alpha)
+            s = smoothing_scales(act_amax[k], w_amax, _alpha(k))
             scales[k] = s
             norm = dict(layer["input_layernorm"])
             norm["scale"] = (norm["scale"] / s).astype(norm["scale"].dtype)
@@ -122,7 +127,7 @@ def smooth_llama(params, act_amax: Dict[str, jax.Array],
             w_amax = jnp.maximum(
                 jnp.max(jnp.abs(mlp["gate_proj"]["kernel"]), axis=1),
                 jnp.max(jnp.abs(mlp["up_proj"]["kernel"]), axis=1))
-            s = smoothing_scales(act_amax[k], w_amax, alpha)
+            s = smoothing_scales(act_amax[k], w_amax, _alpha(k))
             scales[k] = s
             norm = dict(layer["post_attention_layernorm"])
             norm["scale"] = (norm["scale"] / s).astype(norm["scale"].dtype)
@@ -139,3 +144,78 @@ def smooth_llama(params, act_amax: Dict[str, jax.Array],
     out = dict(params)
     out["model"] = model
     return out, scales
+
+
+def awq_search_llama(
+    model, variables, batch,
+    weight_spec: str = "uint4,qs=group_wise_affine,bs=64,ax=0",
+    alphas: Sequence[float] = (0.0, 0.25, 0.5, 0.75, 1.0),
+) -> Tuple[Dict[str, float], Dict[str, jax.Array]]:
+    """AWQ-style activation-aware migration search (Lin et al., 2023).
+
+    SmoothQuant fixes one migration strength; AWQ's observation is that the
+    right strength is *per layer* and should be chosen by the quantized
+    layer's actual output error.  For each decoder layer's two projection
+    groups this grid-searches ``alpha`` minimizing
+
+        || (X / s) @ Q(diag(s) W)  -  X @ W ||_F,   s = a_act^alpha / a_w^(1-alpha)
+
+    summed over the group's kernels, where ``Q`` is the *target weight
+    format's* fake-quant (default: the w4a16 storage format's spec, so the
+    search optimizes exactly what ``build_storage`` will ship).  ``X`` is
+    the captured norm output on one calibration batch.
+
+    Returns ``(alphas_dict, act_amax_dict)`` — feed both to
+    :func:`smooth_llama`, then ``build_storage`` the smoothed params.
+    """
+    from ..qspec import QuantizationSpec
+    from .fake_quant import fake_quantize
+
+    spec = QuantizationSpec.from_str(weight_spec)
+
+    def keep(mdl, method_name):
+        return getattr(mdl, "name", None) in (
+            "input_layernorm", "post_attention_layernorm")
+
+    _, state = model.apply(
+        variables, batch, capture_intermediates=keep,
+        mutable=["intermediates"])
+    inter = state["intermediates"]["model"]
+    params = variables["params"]["model"]
+
+    GROUPS = {
+        "attn": ("input_layernorm", "self_attn",
+                 ("q_proj", "k_proj", "v_proj")),
+        "mlp": ("post_attention_layernorm", "mlp",
+                ("gate_proj", "up_proj")),
+    }
+
+    best: Dict[str, float] = {}
+    amaxes: Dict[str, jax.Array] = {}
+    for lname, sub in inter.items():
+        if not lname.startswith("layers_"):
+            continue
+        for key, (norm, block, projs) in GROUPS.items():
+            X = sub[norm]["__call__"][0]
+            X = X.astype(jnp.float32).reshape(-1, X.shape[-1])
+            act_amax = jnp.max(jnp.abs(X), axis=0)
+            kernels = [params[lname][block][p]["kernel"].astype(jnp.float32)
+                       for p in projs]
+            w_amax = jnp.max(jnp.abs(jnp.concatenate(kernels, axis=1)),
+                             axis=1)
+            ref = [X @ w for w in kernels]
+
+            errs = []
+            for a in alphas:
+                s = smoothing_scales(act_amax, w_amax, a)
+                Xs = X / s[None, :]
+                e = 0.0
+                for w, r in zip(kernels, ref):
+                    wq, _ = fake_quantize(w * s[:, None], spec, None,
+                                          observe=False)
+                    e = e + jnp.sum((Xs @ wq - r) ** 2)
+                errs.append(float(e))
+            k = f"{lname}.{key}"
+            best[k] = float(alphas[int(np.argmin(errs))])
+            amaxes[k] = act_amax
+    return best, amaxes

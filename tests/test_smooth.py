@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
 from quantized_training_tpu.quantize import QConfig, QuantConfig
 from quantized_training_tpu.quantize.smooth import (
-    calibrate_llama_amax, smooth_llama, smoothing_scales,
+    awq_search_llama, calibrate_llama_amax, smooth_llama, smoothing_scales,
 )
 
 
@@ -101,3 +101,52 @@ class TestSmoothing:
         smoothed, _ = smooth_llama(variables["params"], amax)
         e_smooth = err(smoothed)
         assert e_smooth < e_plain * 0.8, (e_smooth, e_plain)
+
+
+class TestAwqSearch:
+    def test_search_and_fold(self, setup):
+        from quantized_training_tpu.quantize import (
+            QuantConfig, build_storage,
+        )
+        cfg, model, variables, ids = setup
+        spec = "uint4,qs=group_wise_affine,bs=16,ax=0"
+        alphas, amax = awq_search_llama(model, variables, ids,
+                                        weight_spec=spec)
+        # one alpha per (layer, side), all from the grid
+        assert set(alphas) == {f"layers_{i}.{k}" for i in range(2)
+                               for k in ("attn", "mlp")}
+        assert all(a in (0.0, 0.25, 0.5, 0.75, 1.0)
+                   for a in alphas.values())
+        assert set(amax) == set(alphas)
+
+        # the fold with searched alphas is still an fp near-identity
+        ref = model.apply(variables, ids)
+        smoothed, _ = smooth_llama(variables["params"], amax, alphas)
+        out = model.apply({"params": smoothed}, ids)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=6e-2, atol=8e-2)
+
+    def test_awq_not_worse_than_unsmoothed_for_w4_storage(self, setup):
+        # end-to-end: w4a16 storage serving error with AWQ-chosen migration
+        # vs no smoothing at all, measured against the fp model.  The grid
+        # includes alpha=0 per site (= no migration), so a correct search
+        # can't lose by more than cross-layer interaction noise.
+        from quantized_training_tpu.quantize import QuantConfig, build_storage
+        cfg, model, variables, ids = setup
+        ref = np.asarray(model.apply(variables, ids), np.float32)
+
+        def w4_err(params):
+            storage, slim = build_storage(params, "w4a16", 16)
+            st = LlamaForCausalLM(cfg, QuantConfig().with_storage(
+                "w4a16", 16))
+            out = st.apply({"params": slim, "storage": storage}, ids)
+            return float(np.abs(np.asarray(out, np.float32) - ref).mean())
+
+        e_plain = w4_err(variables["params"])
+        alphas, amax = awq_search_llama(
+            model, variables, ids,
+            weight_spec="uint4,qs=group_wise_affine,bs=16,ax=0")
+        smoothed, _ = smooth_llama(variables["params"], amax, alphas)
+        e_awq = w4_err(smoothed)
+        assert e_awq < e_plain * 1.1, (e_awq, e_plain)
