@@ -39,6 +39,15 @@ def main():
                              "converted offline and the bf16 weights never "
                              "reach the device (quantize/storage.py)")
     parser.add_argument("--storage_group", type=int, default=64)
+    parser.add_argument("--awq", action="store_true",
+                        help="activation-aware smoothing before packing: "
+                             "per-layer migration-strength search on the "
+                             "prompt as calibration data (quantize/smooth)")
+    parser.add_argument("--gptq", action="store_true",
+                        help="error-compensated weight rounding for "
+                             "w4a16/w2a16 storage (quantize/gptq.py); "
+                             "Hessians calibrate on the prompt")
+    parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--prefill_len", type=int, default=128)
     add_qspec_args(parser)
     args = parser.parse_args()
@@ -69,10 +78,36 @@ def main():
         model = type(model)(cfg, qconfig)
 
     variables = {"params": params}
+    if args.awq and args.storage in ("w4a16", "w2a16"):
+        # activation-aware migration, searched against the storage format
+        from quantized_training_tpu.quantize import (
+            awq_search_llama, smooth_llama,
+        )
+        nbits = 4 if args.storage == "w4a16" else 2
+        spec = (f"uint{nbits},qs=group_wise_affine,"
+                f"bs={args.storage_group},ax=0")
+        calib_model = type(model)(cfg, None)
+        alphas, amax = awq_search_llama(
+            calib_model, {"params": params}, jnp.asarray(ids),
+            weight_spec=spec)
+        params, _ = smooth_llama(params, amax, alphas)
+        print(f"awq: alphas={alphas}", file=sys.stderr)
+
     if args.storage:
         from quantized_training_tpu.quantize import build_storage
-        storage, slim = build_storage(params, args.storage,
-                                      args.storage_group)
+        if args.gptq and args.storage in ("w4a16", "w2a16"):
+            from quantized_training_tpu.quantize import (
+                accumulate_gptq, build_storage_gptq,
+            )
+            calib_model = type(model)(cfg, None)
+            _, col = calib_model.apply(
+                {"params": params}, jnp.asarray(ids), mutable=["gptq"])
+            hessians = accumulate_gptq(None, col["gptq"])
+            storage, slim = build_storage_gptq(
+                params, hessians, args.storage, args.storage_group)
+        else:
+            storage, slim = build_storage(params, args.storage,
+                                          args.storage_group)
         variables = {"params": slim, "storage": storage}
         from quantized_training_tpu.quantize import QuantConfig
         qconfig = (qconfig if qconfig is not None
@@ -83,7 +118,7 @@ def main():
     out = generate(
         model, variables, jnp.asarray(ids),
         max_new_tokens=args.max_new_tokens,
-        temperature=args.temperature, top_k=args.top_k,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         eos_token_id=tok.eos_token_id,
     )
     text = tok.decode(np.asarray(out[0]), skip_special_tokens=True)

@@ -201,3 +201,43 @@ class TestGptqPipeline:
     def test_rejects_non_affine_formats(self):
         with pytest.raises(ValueError, match="group-affine"):
             build_storage_gptq({}, {}, "posit8", 64)
+
+    def test_full_modern_ptq_recipe(self, calibrated):
+        # the whole serving stack composed: AWQ migration search -> GPTQ
+        # rounding -> w4a16 packed storage -> KIVI uint2 cache -> generate
+        # (what examples/generate_llm.py --awq --gptq --storage w4a16
+        #  --kv_cache uint2 wires)
+        from dataclasses import replace
+        from quantized_training_tpu.models import LlamaForCausalLM
+        from quantized_training_tpu.quantize import (
+            awq_search_llama, smooth_llama,
+        )
+        from quantized_training_tpu.serving.generate import generate
+        from quantized_training_tpu.serving.kv_cache import KVCacheConfig
+
+        cfg, model, variables, ids, _ = calibrated
+        spec = "uint4,qs=group_wise_affine,bs=64,ax=0"
+        alphas, amax = awq_search_llama(model, variables, ids,
+                                        weight_spec=spec)
+        smoothed, _ = smooth_llama(variables["params"], amax, alphas)
+
+        # GPTQ Hessians must calibrate on the *smoothed* model
+        hessians = None
+        for seed in range(1, 5):
+            batch = jnp.asarray(
+                np.random.default_rng(seed).integers(0, 256, (4, 16)),
+                jnp.int32)
+            _, col = model.apply({"params": smoothed}, batch,
+                                 mutable=["gptq"])
+            hessians = accumulate_gptq(hessians, col["gptq"])
+        storage, slim = build_storage_gptq(smoothed, hessians, "w4a16", 64)
+
+        kcfg = KVCacheConfig.kivi(max_prefill=16, max_decode=8, pack=True)
+        scfg = replace(cfg, kv_cache=kcfg)
+        st_model = LlamaForCausalLM(
+            scfg, QuantConfig().with_storage("w4a16", 64))
+        prompt = ids[:1, :12]
+        out = generate(st_model, {"params": slim, "storage": storage},
+                       prompt, 6)
+        assert out.shape == (1, 18)
+        assert np.isfinite(np.asarray(out)).all()
