@@ -135,7 +135,35 @@ def main():
     }), flush=True)
 
     storage_decode_bench(rng, results["fp"])
+    combined_decode_bench(rng, results["fp"])
     spec_bench(rng)
+
+
+def combined_decode_bench(rng, fp_ms):
+    """The full quantized serving stack in one step: packed storage weights
+    (w4a16 / mx8) + the fused-KIVI uint4 cache.  Weight streaming and cache
+    reads are both byte-reduced, so this should beat each feature alone."""
+    from quantized_training_tpu.quantize import QuantConfig, build_storage
+
+    for fmt, group in (("w4a16", 64), ("mx8", 64)):
+        model, cfg = build("uint4")
+        st_model = type(model)(cfg, QuantConfig().with_storage(fmt, group))
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 512)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+        storage, slim = build_storage(variables["params"], fmt, group)
+        svars = {"params": slim, "storage": storage}
+        if "cache" in variables:
+            svars["cache"] = variables["cache"]
+        print(f"combined {fmt}+kivi-uint4: timing...", file=sys.stderr,
+              flush=True)
+        t1 = time_decode(st_model, svars, ids, 8)
+        t2 = time_decode(st_model, svars, ids, 160)
+        ms = (t2 - t1) / 152 * 1e3
+        print(json.dumps({
+            "metric": f"llama2s_decode_{fmt}_plus_kivi_uint4_ms_per_step",
+            "value": round(ms, 3), "unit": "ms/step",
+            "vs_fp_baseline": round(fp_ms / ms, 3),
+        }), flush=True)
 
 
 def storage_decode_bench(rng, fp_ms):

@@ -125,14 +125,22 @@ def storage_matmul_blocks(m: int, k: int, n: int, *, code_bytes: float = 1,
                 bm = m  # single tile: always legal
                 break
 
+    # Storage kernels get a higher budget than attention: their footprint
+    # model below is complete (nothing left to the compiler's discretion),
+    # so less headroom is needed under the 16 MiB scoped-vmem hard limit.
+    storage_budget = 14 * 1024 * 1024
+
     def fits(bk, bn):
-        # the converted-weights intermediate is not counted: Mosaic folds the
-        # convert+scale into the dot operand read (validated by on-chip runs
-        # of (128, 512, 5504) tiles, whose naive footprint would not fit)
         x_tiles = 2 * bm * bk * 2 * x_factor
         code_tiles = 2 * bk * bn * (code_bytes + scale_bytes_per_code)
+        # the converted bf16 weight tile is real scratch: Mosaic does NOT
+        # fold the convert+scale into the dot operand read (an on-chip
+        # (256, 5504, 512) run hit the 16 MiB scoped-vmem hard limit at
+        # exactly the unfolded footprint).  The plane-packed affine kernel
+        # unpacks one (bk, bn) tile per plane (x_factor of them live).
+        conv = bk * bn * 2 * x_factor
         acc = bm * bn * 4 + bm * bn * 2
-        return x_tiles + code_tiles + acc <= VMEM_BUDGET
+        return x_tiles + code_tiles + conv + acc <= storage_budget
 
     # the scales tile has block_k/scale_block sublanes — Mosaic requires
     # that to be a multiple of 8 or the whole array, so bk = k or a

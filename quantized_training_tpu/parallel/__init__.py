@@ -21,8 +21,11 @@ from .grad_compress import (
     compressed_grad_sync,
     init_error_state,
 )
+from .overlap import allgather_matmul, matmul_reducescatter
 
 __all__ = [
+    "allgather_matmul",
+    "matmul_reducescatter",
     "compressed_allreduce_mean",
     "compressed_grad_sync",
     "init_error_state",
