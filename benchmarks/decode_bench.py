@@ -23,6 +23,11 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+# Shared benchmark protocol constants (main, storage_decode_bench and
+# combined_decode_bench must stay in sync — ms/step is (t_N2 - t_N1)/(N2 - N1)).
+B, S = 8, 512
+N1, N2 = 8, 160
+
 
 def build(kind: str):
     from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
@@ -107,9 +112,7 @@ def time_decode(model, variables, ids, n_steps, repeats=5):
 
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
-    B, S = 8, 512
     rng = np.random.default_rng(0)
-    n1, n2 = 8, 160
 
     results = {}
     for kind in ("fp", "uint4", "uint2"):
@@ -117,9 +120,9 @@ def main():
         ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)))
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
         print(f"{kind}: timing...", file=sys.stderr, flush=True)
-        t1 = time_decode(model, variables, ids, n1)
-        t2 = time_decode(model, variables, ids, n2)
-        ms = (t2 - t1) / (n2 - n1) * 1e3
+        t1 = time_decode(model, variables, ids, N1)
+        t2 = time_decode(model, variables, ids, N2)
+        ms = (t2 - t1) / (N2 - N1) * 1e3
         results[kind] = ms
         print(json.dumps({
             "metric": f"llama2s_decode_{kind}_ms_per_step",
@@ -148,7 +151,7 @@ def combined_decode_bench(rng, fp_ms):
     for fmt, group in (("w4a16", 64), ("mx8", 64)):
         model, cfg = build("uint4")
         st_model = type(model)(cfg, QuantConfig().with_storage(fmt, group))
-        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 512)))
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)))
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
         storage, slim = build_storage(variables["params"], fmt, group)
         svars = {"params": slim, "storage": storage}
@@ -156,9 +159,9 @@ def combined_decode_bench(rng, fp_ms):
             svars["cache"] = variables["cache"]
         print(f"combined {fmt}+kivi-uint4: timing...", file=sys.stderr,
               flush=True)
-        t1 = time_decode(st_model, svars, ids, 8)
-        t2 = time_decode(st_model, svars, ids, 160)
-        ms = (t2 - t1) / 152 * 1e3
+        t1 = time_decode(st_model, svars, ids, N1)
+        t2 = time_decode(st_model, svars, ids, N2)
+        ms = (t2 - t1) / (N2 - N1) * 1e3
         print(json.dumps({
             "metric": f"llama2s_decode_{fmt}_plus_kivi_uint4_ms_per_step",
             "value": round(ms, 3), "unit": "ms/step",
@@ -175,14 +178,14 @@ def storage_decode_bench(rng, fp_ms):
     for fmt, group in (("mx8", 64), ("w4a16", 64), ("w8a8", 64)):
         model, cfg = build("fp")
         st_model = type(model)(cfg, QuantConfig().with_storage(fmt, group))
-        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 512)))
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)))
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
         storage, slim = build_storage(variables["params"], fmt, group)
         svars = {"params": slim, "storage": storage}
         print(f"storage {fmt}: timing...", file=sys.stderr, flush=True)
-        t1 = time_decode(st_model, svars, ids, 8)
-        t2 = time_decode(st_model, svars, ids, 160)
-        ms = (t2 - t1) / 152 * 1e3
+        t1 = time_decode(st_model, svars, ids, N1)
+        t2 = time_decode(st_model, svars, ids, N2)
+        ms = (t2 - t1) / (N2 - N1) * 1e3
         print(json.dumps({
             "metric": f"llama2s_decode_storage_{fmt}_ms_per_step",
             "value": round(ms, 3), "unit": "ms/step",

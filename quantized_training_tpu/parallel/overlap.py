@@ -13,7 +13,12 @@ one neighbor ``lax.ppermute`` hop plus one partial matmul per step — so
 XLA's async collective-permute (start/done pairs) overlaps each hop with
 the previous step's matmul.  The loop is a static Python unroll (mesh size
 is static), which keeps the schedule visible to XLA and the whole thing
-differentiable.
+differentiable.  Differentiability caveat: that statement applies to the
+*unquantized* wire (``payload_spec=None``, grad-tested).  With a quantized
+payload the round/clip in ``group_quantize_payload`` zeroes the code path's
+gradient (only the scale/zero-point min/max statistics carry grad); there
+is no straight-through estimator on the wire.  Use the unquantized wire in
+training graphs, or treat the quantized wire as inference-only.
 
 Quantized wire: with ``payload_spec`` the all-gather ring rotates
 group-affine codes (+ scales/zero-points) instead of bf16 activations —
@@ -110,6 +115,11 @@ def matmul_reducescatter(
     """
     n = mesh.shape[axis]
     perm = [(i, (i + 1) % n) for i in range(n)]
+
+    assert y.shape[0] % n == 0, (
+        f"matmul_reducescatter: M={y.shape[0]} must be divisible by the "
+        f"'{axis}' mesh axis size {n} (rows are scattered in M/{n} blocks)"
+    )
 
     def local(y_loc, w_loc):
         part = jnp.dot(y_loc, w_loc, preferred_element_type=jnp.float32)
