@@ -224,7 +224,15 @@ class LlamaAttention(nn.Module, QuantMixin):
                 cache_v.value, v, (0, idx, 0, 0))
             k, v = cache_k.value, cache_v.value
 
-        if self._flash_eligible(attention_mask, use_cache, S, D):
+        # KIVI prefill may run flash: the cache write (prefill_cache) is
+        # independent of attention, and causality alone excludes the padded
+        # kv slots (they sit at positions >= prompt_len) for every real
+        # query row; pad rows' outputs are never consumed.  This keeps the
+        # (B, H, S, S) score tensor out of HBM on the serving prefill path.
+        kivi_prefill = (use_cache and cfg.kv_cache is not None
+                        and S > 1 and not decode_append)
+        if self._flash_eligible(attention_mask, use_cache, S, D,
+                                kivi_prefill):
             ctx, o_prequantized = self._flash_path(q, k, v)
         else:
             ctx = self._naive_path(
@@ -285,9 +293,10 @@ class LlamaAttention(nn.Module, QuantMixin):
             return spec.dtype
         return False
 
-    def _flash_eligible(self, attention_mask, use_cache, S, D):
+    def _flash_eligible(self, attention_mask, use_cache, S, D,
+                        kivi_prefill=False):
         cfg = self.config
-        if not cfg.use_flash_attention or use_cache:
+        if not cfg.use_flash_attention or (use_cache and not kivi_prefill):
             return False
         if attention_mask is not None:
             return False
@@ -489,14 +498,26 @@ class LlamaModel(nn.Module, QuantMixin):
         if attention_mask is None:
             if use_cache and cfg.kv_cache is not None:
                 if S > 1 and not decode_append:
-                    # kivi prefill attends over the current tokens only; with
-                    # a padded fixed-shape prefill, prompt_len also masks the
-                    # pad slots.
-                    attention_mask = causal_mask(B, S, S, 0)
-                    if prompt_len is not None:
-                        kv_pos = jnp.arange(S)[None, None, None, :]
-                        attention_mask = jnp.where(
-                            kv_pos < prompt_len, attention_mask, MASK_VALUE)
+                    if (cfg.use_flash_attention and cfg.head_dim % 128 == 0
+                            and S % 128 == 0):
+                        # Leave the mask None so the attention layer can run
+                        # the flash kernel (causality fused in-kernel).  The
+                        # pad mask is not needed for correctness: padded kv
+                        # slots sit at positions >= prompt_len, so causality
+                        # already hides them from every real query row, and
+                        # pad rows' outputs are never consumed (the cache
+                        # write zeroes pad slots via prompt_len separately).
+                        pass
+                    else:
+                        # kivi prefill attends over the current tokens only;
+                        # with a padded fixed-shape prefill, prompt_len also
+                        # masks the pad slots.
+                        attention_mask = causal_mask(B, S, S, 0)
+                        if prompt_len is not None:
+                            kv_pos = jnp.arange(S)[None, None, None, :]
+                            attention_mask = jnp.where(
+                                kv_pos < prompt_len, attention_mask,
+                                MASK_VALUE)
                 # S == 1 decode: leave the mask None — the attention layer
                 # owns the cache and derives the exact visibility from its
                 # main_len/res_len (scalar or per-slot), or fuses it into

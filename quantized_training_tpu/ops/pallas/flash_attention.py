@@ -13,19 +13,31 @@ placement (deliberate, measured):
     riding the output write instead of a separate HBM pass.
 Block sizes come from the VMEM-budget model in autotune.py unless pinned.
 
-Online-softmax notes:
-  * q/k/v quantization hooks are exact (elementwise on tiles).
-  * probability quantization (``p_qfn``) is applied to the normalized
-    probabilities: the kernel keeps the running max/denominator like standard
-    flash attention, then on the *final* k-block pass rescales stored partial
-    results.  To keep single-pass structure, p_qfn is applied to
-    exp(s - m_run) tiles (normalized by the running denominator at the end);
-    this equals quantizing true probabilities only when m_run has converged
-    for the tile, so it is an approximation of the reference's
-    quantize-after-softmax.  Accuracy-parity evaluations use the XLA
-    (naive) attention path; this kernel is the serving/performance path.
+Probability quantization is EXACT (two-pass online softmax):
+  * With ``p_qfn`` set, the kernel walks the k blocks twice per q block.
+    Pass 1 accumulates the standard running max ``m`` and denominator ``l``
+    (no pv matmul), then converts them to the row logsumexp.  Pass 2
+    recomputes each score tile and quantizes the TRUE normalized
+    probability ``p = exp(s - logsumexp)`` — exactly the reference's
+    quantize-after-softmax semantics (quantize_pt2e.py:323-446 dq
+    placement) — and accumulates ``quant(p) @ v`` with no rescaling.
+    The perf path and the accuracy path are therefore the same program
+    (up to f32 summation association in ``l``, which any two softmax
+    implementations differ by); the earlier running-normalized
+    approximation is gone.  Cost: one extra qk matmul pass per tile when
+    (and only when) probabilities are quantized.
+  * Without ``p_qfn`` the kernel is the standard single-pass flash forward.
   * GQA is handled by the k/v BlockSpec index maps (head h reads kv head
     h // group) — repeated heads are never materialized.
+
+Backward passes (both tile-recomputing, nothing quadratic in HBM):
+  * p_qfn=None: standard flash backward, di = rowsum(dO * O).
+  * p_qfn set: straight-through-exact backward.  With o = STE(quant(p)) @ v,
+      dv = quant(p)^T dO          (the quantized p is what multiplied v)
+      dp = dO V^T;  ds = p (dp - di);  di = rowsum(dO * o_unq), o_unq = p V
+    so the forward-for-backward variant additionally accumulates the
+    UNQUANTIZED ``p @ v`` (one extra MXU matmul, training only) and the
+    dk/dv kernel re-applies ``p_qfn`` for the dv term.
 
 Interface shapes: q (B, H, S, D); k, v (B, KV, T, D); output (B, H, S, D).
 S, T must be multiples of the block sizes; D must be a multiple of 128
@@ -58,31 +70,48 @@ def _attn_kernel(
     q_offset: int,
     block_q: int,
     block_k: int,
+    nk_real: int,
     q_qfn, k_qfn, p_qfn, v_qfn, out_qfn,
     save_lse: bool,
 ):
-    o_raw_ref = None
+    two_pass = p_qfn is not None
+    lse_ref = o_raw_ref = o_unq_ref = acc2_ref = None
+    idx = 0
     if save_lse:
-        if out_qfn is not None:
-            lse_ref, o_raw_ref, acc_ref, m_ref, l_ref = rest
-        else:
-            lse_ref, acc_ref, m_ref, l_ref = rest
-    else:
-        acc_ref, m_ref, l_ref = rest
-        lse_ref = None
+        lse_ref = rest[idx]; idx += 1
+        if two_pass:
+            o_unq_ref = rest[idx]; idx += 1
+        elif out_qfn is not None:
+            o_raw_ref = rest[idx]; idx += 1
+    acc_ref, m_ref, l_ref = rest[idx:idx + 3]
+    idx += 3
+    if two_pass and save_lse:
+        acc2_ref = rest[idx]
+
     i = pl.program_id(2)  # q block
-    j = pl.program_id(3)  # k block
-    nk = pl.num_programs(3)
+    j = pl.program_id(3)  # k sweep step (0..2*nk_real-1 when two_pass)
+    if two_pass:
+        nk = nk_real
+        jr = jax.lax.rem(j, nk)
+        phase2 = j >= nk
+        last = 2 * nk - 1
+    else:
+        nk = pl.num_programs(3)
+        jr = j
+        phase2 = None
+        last = nk - 1
 
     @pl.when(j == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
+        if acc2_ref is not None:
+            acc2_ref[:] = jnp.zeros_like(acc2_ref)
 
     # Causal: skip blocks strictly above the diagonal.
     q_start = i * block_q + q_offset
-    k_start = j * block_k
+    k_start = jr * block_k
     needed = jnp.logical_or(
         jnp.logical_not(causal), k_start <= q_start + block_q - 1
     )
@@ -110,45 +139,90 @@ def _attn_kernel(
             )
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
 
-        m_prev = m_ref[:]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
+        if not two_pass:
+            m_prev = m_ref[:]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
 
-        p = jnp.exp(s - m_new)
-        if p_qfn is not None:
-            p = p_qfn(p.astype(jnp.bfloat16)).astype(jnp.float32)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[:] = m_new
 
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:] = m_new
+            v = v_ref[0, 0]
+            if v_qfn is not None:
+                v = v_qfn(v)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] = acc_ref[:] * alpha + pv
+        else:
+            @pl.when(jnp.logical_not(phase2))
+            def _stats():
+                m_prev = m_ref[:]
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+                l_ref[:] = (l_ref[:] * jnp.exp(m_prev - m_new)
+                            + jnp.sum(jnp.exp(s - m_new), axis=1,
+                                      keepdims=True))
+                m_ref[:] = m_new
 
-        v = v_ref[0, 0]
-        if v_qfn is not None:
-            v = v_qfn(v)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = acc_ref[:] * alpha + pv
+            @pl.when(phase2)
+            def _accum():
+                # m_ref holds the row logsumexp after the phase transition;
+                # p is the TRUE normalized probability of this tile.
+                p = jnp.exp(s - m_ref[:])
+                pq = p_qfn(p.astype(jnp.bfloat16)).astype(jnp.float32)
+                v = v_ref[0, 0]
+                if v_qfn is not None:
+                    v = v_qfn(v)
+                acc_ref[:] += jax.lax.dot_general(
+                    pq.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if acc2_ref is not None:
+                    acc2_ref[:] += jax.lax.dot_general(
+                        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
 
-    @pl.when(j == nk - 1)
+    if two_pass:
+        @pl.when(j == nk - 1)
+        def _to_lse():
+            l = l_ref[:]
+            l = jnp.where(l == 0.0, 1.0, l)
+            m_ref[:] = m_ref[:] + jnp.log(l)
+
+    @pl.when(j == last)
     def _finalize():
-        l = l_ref[:]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_val = (acc_ref[:] / l).astype(o_ref.dtype)
+        if two_pass:
+            # quantized probabilities were already normalized; no division
+            o_val = acc_ref[:].astype(o_ref.dtype)
+        else:
+            l = l_ref[:]
+            l = jnp.where(l == 0.0, 1.0, l)
+            o_val = (acc_ref[:] / l).astype(o_ref.dtype)
         if out_qfn is None:
             o_ref[0, 0] = o_val
         else:
             # epilogue quantization: the o_proj GEMM-input rounding rides the
             # kernel's own output write (round the bf16 value, like the XLA
-            # site would).  The raw o is kept for the backward's di term.
+            # site would).
             o_ref[0, 0] = out_qfn(o_val).astype(o_ref.dtype)
             if o_raw_ref is not None:
                 o_raw_ref[0, 0] = o_val
+        if o_unq_ref is not None:
+            # unquantized p @ v for the STE backward's di term
+            o_unq_ref[0, 0] = acc2_ref[:].astype(o_unq_ref.dtype)
         if save_lse:
             # logsumexp per row, replicated over the lane dim for the
             # backward kernels (in-VMEM row-stat layout: (block_q, LANES))
-            lse = m_ref[:] + jnp.log(l)
+            if two_pass:
+                lse = m_ref[:]
+            else:
+                l = l_ref[:]
+                l = jnp.where(l == 0.0, 1.0, l)
+                lse = m_ref[:] + jnp.log(l)
             lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, LANES))
 
 
@@ -160,7 +234,10 @@ def _bwd_dq_kernel(
     block_q: int, block_k: int,
 ):
     """dq = sum_j [p * (dO V^T - di)] * scale @ K — one (b, h, i) row of q
-    blocks, sequential over j, score tiles recomputed in VMEM."""
+    blocks, sequential over j, score tiles recomputed in VMEM.  With
+    probability quantization the same formula holds under the straight-
+    through estimator (p here is the UNQUANTIZED softmax; di is computed
+    from the unquantized o by the caller)."""
     i = pl.program_id(2)
     j = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -214,9 +291,13 @@ def _bwd_dkv_kernel(
     *,
     scale: float, causal: bool, q_offset: int,
     block_q: int, block_k: int,
+    p_qfn=None,
 ):
     """dk/dv for one (b, h, j) k block, sequential over q blocks i.
-    dv = p^T dO;  dk = [p * (dO V^T - di) * scale]^T Q."""
+    dv = p^T dO;  dk = [p * (dO V^T - di) * scale]^T Q.  With probability
+    quantization, dv uses the QUANTIZED p (that is the operand that
+    multiplied v in the forward) while dk keeps the unquantized p (the
+    softmax jacobian under the straight-through estimator)."""
     j = pl.program_id(2)
     i = pl.program_id(3)
     ni = pl.num_programs(3)
@@ -252,8 +333,12 @@ def _bwd_dkv_kernel(
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         p = jnp.exp(s - lse)                             # (bq, bk)
 
+        if p_qfn is not None:
+            pv_op = p_qfn(p.astype(jnp.bfloat16)).astype(jnp.float32)
+        else:
+            pv_op = p
         dv_acc[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            pv_op.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bk, D)
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -271,9 +356,10 @@ def _bwd_dkv_kernel(
 
 def _naive_attention(q, k, v, scale, causal, q_offset, q_qfn, k_qfn,
                      p_qfn, v_qfn):
-    """jnp reference of the kernel semantics — used for the backward pass
-    (recompute) and as the interpret-free correctness oracle.  Quantizers are
-    straight-through (stop_gradient residual trick)."""
+    """jnp reference of the kernel semantics — the interpret-free
+    correctness oracle.  Quantizers are straight-through (stop_gradient
+    residual trick).  p is quantized AFTER full normalization, identical
+    placement to the two-pass kernel."""
 
     def ste(fn, x):
         if fn is None:
@@ -295,7 +381,11 @@ def _naive_attention(q, k, v, scale, causal, q_offset, q_qfn, k_qfn,
         s = jnp.where((k_pos <= q_pos)[None, None], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     if p_qfn is not None:
-        p = ste(p_qfn, p.astype(jnp.bfloat16)).astype(jnp.float32)
+        # STE across the whole bf16-cast + quantize chain: the cotangent
+        # stays f32 (wrapping only the inner call would round the incoming
+        # gradient to bf16 — an artifact, not STE semantics).
+        pq = p_qfn(p.astype(jnp.bfloat16)).astype(jnp.float32)
+        p = p + jax.lax.stop_gradient(pq - p)
     v = ste(v_qfn, v)
     return jnp.einsum("bhst,bhtd->bhsd", p.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
@@ -326,8 +416,8 @@ def flash_attention(
     automatically, keeping the CPU path alive.
 
     Differentiable: the backward pass recomputes attention from q/k/v
-    (standard flash rematerialization) via the jnp reference path with
-    straight-through quantizers.
+    (standard flash rematerialization); probability quantization uses the
+    straight-through-exact backward (see module docstring).
     """
     B, H, S, D = q.shape
     _, KV, T, _ = k.shape
@@ -359,27 +449,33 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(D)
     interpret = resolve_interpret(interpret)
+    two_pass = p_qfn is not None
 
     # VMEM-budget block selection (autotune.py; measured sweet spot is
     # (1024, 1024) on v5e — 1.8x over the old fixed (256, 512)).
     from .autotune import attention_blocks, attention_bwd_blocks
 
-    auto_bq, auto_bk = attention_blocks(S, T, D, quantized=p_qfn is not None)
+    auto_bq, auto_bk = attention_blocks(S, T, D, quantized=two_pass)
     block_q = auto_bq if block_q is None else min(block_q, S)
     block_k = auto_bk if block_k is None else min(block_k, T)
     assert S % block_q == 0, (S, block_q)
     assert T % block_k == 0, (T, block_k)
 
-    grid = (B, H, S // block_q, T // block_k)
+    nk_real = T // block_k
+    grid = (B, H, S // block_q, nk_real * (2 if two_pass else 1))
 
     q_map = lambda b, h, i, j: (b, h, i, 0)
-    kv_map = lambda b, h, i, j, group=group: (b, h // group, j, 0)
+    if two_pass:
+        kv_map = lambda b, h, i, j, group=group, nk=nk_real: (
+            b, h // group, j % nk, 0)
+    else:
+        kv_map = lambda b, h, i, j, group=group: (b, h // group, j, 0)
 
     def _make_call(save_lse: bool):
         kernel = functools.partial(
             _attn_kernel,
             scale=scale, causal=causal, q_offset=q_offset,
-            block_q=block_q, block_k=block_k,
+            block_q=block_q, block_k=block_k, nk_real=nk_real,
             q_qfn=q_qfn, k_qfn=k_qfn, p_qfn=p_qfn, v_qfn=v_qfn,
             out_qfn=out_qfn,
             save_lse=save_lse,
@@ -390,10 +486,21 @@ def flash_attention(
             out_specs.append(pl.BlockSpec((1, 1, block_q, LANES), q_map))
             out_shape.append(
                 jax.ShapeDtypeStruct((B, H, S, LANES), jnp.float32))
-            if out_qfn is not None:
+            if two_pass:
+                # unquantized p @ v for the backward's di = rowsum(dO*o_unq)
+                out_specs.append(pl.BlockSpec((1, 1, block_q, D), q_map))
+                out_shape.append(jax.ShapeDtypeStruct((B, H, S, D), q.dtype))
+            elif out_qfn is not None:
                 # raw (pre-quant) o for the backward's di = rowsum(dO*O)
                 out_specs.append(pl.BlockSpec((1, 1, block_q, D), q_map))
                 out_shape.append(jax.ShapeDtypeStruct((B, H, S, D), q.dtype))
+        scratch = [
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ]
+        if two_pass and save_lse:
+            scratch.append(pltpu.VMEM((block_q, D), jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -404,11 +511,7 @@ def flash_attention(
             ],
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((block_q, D), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel",
                                      "arbitrary"),
@@ -421,12 +524,13 @@ def flash_attention(
     call = _make_call(save_lse=False)
     call_lse = _make_call(save_lse=True)
 
-    def _flash_bwd(qr, kr, vr, lse, o, g):
+    def _flash_bwd(qr, kr, vr, lse, o_unq, g):
         """Tile-recomputed flash backward: dq then dk/dv, no (S, T) tensor
-        in HBM.  di = rowsum(dO * O) (the softmax-backward inner product,
-        valid because o = p @ v with the same p being differentiated)."""
+        in HBM.  di = rowsum(dO * o_unq) — the softmax-backward inner
+        product; o_unq is p @ v with p UNQUANTIZED (equals the forward
+        output except under out_qfn / p_qfn, where the forward saves it)."""
         do = g.astype(jnp.float32)
-        di = jnp.sum(do * o.astype(jnp.float32), axis=-1)       # (B, H, S)
+        di = jnp.sum(do * o_unq.astype(jnp.float32), axis=-1)   # (B, H, S)
         di = jnp.broadcast_to(di[..., None], (B, H, S, LANES))
 
         # backward tiles hold ~1.5x the forward footprint — own block sizes
@@ -463,7 +567,7 @@ def flash_attention(
         kv_j_map = lambda b, h, j, i, group=group: (b, h // group, j, 0)
         q_i_map = lambda b, h, j, i: (b, h, i, 0)
         dk_h, dv_h = pl.pallas_call(
-            functools.partial(_bwd_dkv_kernel, **common),
+            functools.partial(_bwd_dkv_kernel, p_qfn=p_qfn, **common),
             grid=(B, H, T // bk2, S // bq2),
             in_specs=[
                 pl.BlockSpec((1, 1, bq2, D), q_i_map),
@@ -507,27 +611,17 @@ def flash_attention(
     def _fa_fwd(q, k, v):
         outs = call_lse(q, k, v)
         o, lse = outs[0], outs[1]
-        # with out_qfn, o is the quantized output; di needs the raw one
-        o_raw = outs[2] if out_qfn is not None else o
-        return o, (q, k, v, lse, o_raw)
+        if two_pass:
+            o_unq = outs[2]        # unquantized p @ v (di term)
+        elif out_qfn is not None:
+            o_unq = outs[2]        # raw (pre-out-quant) o == p @ v
+        else:
+            o_unq = o              # o itself is p @ v
+        return o, (q, k, v, lse, o_unq)
 
     def _fa_bwd(res, g):
-        qr, kr, vr, lse, o = res
-        if p_qfn is None:
-            # real flash backward: recompute per tile, nothing quadratic
-            # ever hits HBM (q/k/v quantizers were hoisted+STE'd outside)
-            return _flash_bwd(qr, kr, vr, lse, o, g)
-        # probability quantization couples the softmax backward to the
-        # quantized p in a way the di-trick doesn't capture; fall back to
-        # the jnp recompute path (accuracy-parity path uses it anyway).
-        _, vjp = jax.vjp(
-            lambda a, b, c: _naive_attention(
-                a, b, c, scale, causal, q_offset,
-                q_qfn, k_qfn, p_qfn, v_qfn,
-            ),
-            qr, kr, vr,
-        )
-        return vjp(g)
+        qr, kr, vr, lse, o_unq = res
+        return _flash_bwd(qr, kr, vr, lse, o_unq, g)
 
     _fa.defvjp(_fa_fwd, _fa_bwd)
     return _fa(q, k, v)

@@ -62,9 +62,11 @@ class TestFlashBackward:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
                 err_msg=f"d{name}")
 
-    def test_pquant_falls_back_to_naive(self):
-        # p_qfn set -> backward must equal the naive STE path exactly
-        q, k, v = make_qkv(S=128, T=128, seed=2)
+    def test_pquant_backward_matches_naive_ste(self):
+        """p_qfn set -> the STE-exact flash backward (dv from quantized p,
+        dk/dq from the softmax jacobian at unquantized p, di from the saved
+        unquantized p @ v) must match jax.vjp through the naive STE path."""
+        q, k, v = make_qkv(S=256, T=256, seed=2)
         p_qfn = quantize_fn("posit8_1")
 
         def loss_flash(q, k, v):
@@ -72,8 +74,47 @@ class TestFlashBackward:
                 q, k, v, causal=True, p_qfn=p_qfn,
                 block_q=128, block_k=128) ** 2)
 
+        def loss_naive(q, k, v):
+            return jnp.sum(_naive_attention(
+                q, k, v, 1.0 / np.sqrt(128), True, 0,
+                None, None, p_qfn, None) ** 2)
+
         g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
-        assert all(bool(jnp.all(jnp.isfinite(x))) for x in g)
+        g_ref = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"d{name}")
+
+    def test_pquant_backward_no_quadratic_hbm_tensor(self):
+        """The p-quant backward is also tile-recomputed: no (S, S)
+        intermediate in the grad graph (the old fallback materialized the
+        full score tensor via the jnp vjp)."""
+        S = 1024
+        q, k, v = make_qkv(B=1, H=2, KV=2, S=S, T=S, D=128, seed=3,
+                           dtype=jnp.bfloat16)
+        p_qfn = quantize_fn("posit8_1")
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, causal=True, p_qfn=p_qfn, block_q=256, block_k=256)
+                .astype(jnp.float32) ** 2)
+
+        jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+
+        def has_quadratic(jx):
+            for eqn in jx.eqns:
+                for var in eqn.outvars:
+                    shape = getattr(var.aval, "shape", ())
+                    if shape.count(S) >= 2:
+                        return True
+                for p in eqn.params.values():
+                    if hasattr(p, "jaxpr") and has_quadratic(p.jaxpr):
+                        return True
+            return False
+
+        assert not has_quadratic(jaxpr.jaxpr), (
+            "found an (S, S) intermediate in the p-quant backward graph")
 
     def test_no_quadratic_hbm_tensor(self):
         """At S=2048 the jaxpr of the grad must not contain any
@@ -103,3 +144,100 @@ class TestFlashBackward:
 
         assert not has_quadratic(jaxpr.jaxpr), (
             "found an (S, S) intermediate in the backward graph")
+
+
+class TestExactProbabilityQuantization:
+    """The two-pass kernel quantizes TRUE normalized probabilities
+    p = exp(s - logsumexp) — the reference's quantize-after-softmax
+    placement.  Verified two ways: bit-equality against a tile-by-tile
+    simulation of the documented kernel arithmetic (interpret mode executes
+    the same jnp ops), and semantic closeness against the model's naive
+    softmax-then-quantize accuracy path."""
+
+    def _two_pass_oracle(self, q, k, v, scale, block_q, block_k, p_qfn,
+                         causal=True, out_qfn=None):
+        from quantized_training_tpu.ops.pallas.flash_attention import NEG_INF
+
+        B, H, S, D = q.shape
+        _, KV, T, _ = k.shape
+        group = H // KV
+        nk = T // block_k
+        out = np.zeros((B, H, S, D), q.dtype)
+        for b in range(B):
+            for h in range(H):
+                for i in range(S // block_q):
+                    qt = q[b, h, i * block_q:(i + 1) * block_q]
+                    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+                    l = jnp.zeros((block_q, 1), jnp.float32)
+                    tiles = []
+                    for j in range(nk):
+                        if causal and j * block_k > (i + 1) * block_q - 1:
+                            tiles.append(None)
+                            continue
+                        kt = k[b, h // group, j * block_k:(j + 1) * block_k]
+                        s = jax.lax.dot_general(
+                            qt, kt, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+                        if causal:
+                            q_pos = i * block_q + jax.lax.broadcasted_iota(
+                                jnp.int32, (block_q, block_k), 0)
+                            k_pos = j * block_k + jax.lax.broadcasted_iota(
+                                jnp.int32, (block_q, block_k), 1)
+                            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+                        tiles.append(s)
+                        m_new = jnp.maximum(
+                            m, jnp.max(s, axis=1, keepdims=True))
+                        l = (l * jnp.exp(m - m_new)
+                             + jnp.sum(jnp.exp(s - m_new), axis=1,
+                                       keepdims=True))
+                        m = m_new
+                    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+                    acc = jnp.zeros((block_q, D), jnp.float32)
+                    for j in range(nk):
+                        if tiles[j] is None:
+                            continue
+                        vt = v[b, h // group, j * block_k:(j + 1) * block_k]
+                        p = jnp.exp(tiles[j] - lse)
+                        pq = p_qfn(p.astype(jnp.bfloat16)).astype(jnp.float32)
+                        acc = acc + jax.lax.dot_general(
+                            pq.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    o = acc.astype(q.dtype)
+                    if out_qfn is not None:
+                        o = out_qfn(o).astype(q.dtype)
+                    out[b, h, i * block_q:(i + 1) * block_q] = np.asarray(o)
+        return out
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_bit_equal_to_tilewise_simulation(self, causal):
+        q, k, v = make_qkv(B=1, H=2, KV=2, S=256, T=256, seed=7)
+        p_qfn = quantize_fn("posit8_1")
+        scale = 1.0 / np.sqrt(128)
+        got = flash_attention(q, k, v, causal=causal, p_qfn=p_qfn,
+                              block_q=128, block_k=128)
+        want = self._two_pass_oracle(q, k, v, scale, 128, 128, p_qfn,
+                                     causal=causal)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_bit_equal_with_gqa_and_out_quant(self):
+        q, k, v = make_qkv(B=1, H=4, KV=2, S=256, T=256, seed=8)
+        p_qfn = quantize_fn("posit8_1")
+        out_qfn = quantize_fn("e4m3")
+        got = flash_attention(q, k, v, causal=True, p_qfn=p_qfn,
+                              out_qfn=out_qfn, block_q=128, block_k=128)
+        want = self._two_pass_oracle(q, k, v, 1.0 / np.sqrt(128), 128, 128,
+                                     p_qfn, causal=True, out_qfn=out_qfn)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_close_to_softmax_then_quantize_oracle(self):
+        """Semantic check vs the accuracy path (jax.nn.softmax then
+        quantize): identical placement, so the only differences are f32
+        summation association in the denominator — bounded by a couple of
+        quantization steps on isolated boundary elements."""
+        q, k, v = make_qkv(B=2, H=4, KV=4, S=256, T=256, seed=9)
+        p_qfn = quantize_fn("posit8_1")
+        got = np.asarray(flash_attention(
+            q, k, v, causal=True, p_qfn=p_qfn, block_q=128, block_k=128))
+        want = np.asarray(_naive_attention(
+            q, k, v, 1.0 / np.sqrt(128), True, 0, None, None, p_qfn, None))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
