@@ -20,9 +20,9 @@ import jax
 import jax.numpy as jnp
 
 
-def build(quantized: bool):
+def build(quantized: bool, rung: str = "residual_fusion"):
     from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
-    from quantized_training_tpu.quantize import QConfig, QuantConfig
+    from quantized_training_tpu.quantize import FUSION_LADDER, QConfig, QuantConfig
 
     cfg = LlamaConfig(
         vocab_size=32000,
@@ -36,12 +36,22 @@ def build(quantized: bool):
     )
     qc = None
     if quantized:
+        cats = dict(FUSION_LADDER)[rung]
         qc = QuantConfig(
             global_qconfig=QConfig.from_strs(
                 activation="posit8_1", weight="posit8_1"
             )
-        ).with_fusion(forward="gemm")
+        ).with_fusion(forward=cats)
     return LlamaForCausalLM(cfg, qc), cfg
+
+
+def model_flops_per_token(cfg):
+    """Causal-accounting model FLOPs per token (standard MFU convention)."""
+    h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    gemm = L * (4 * h * h + 3 * h * inter) + h * cfg.vocab_size
+    S = 1024  # bench sequence length
+    attn = L * 4 * cfg.num_attention_heads * cfg.head_dim * (S + 1) / 2
+    return 2 * gemm + attn
 
 
 def prequantize_weights(variables, qconfig):
@@ -132,12 +142,44 @@ def main():
     print("measuring bf16 baseline...", file=sys.stderr, flush=True)
     f_tps = measure(fmodel, {"params": qvars["params"]}, ids)
 
+    # achieved TFLOP/s + fraction-of-peak (MFU) for both arms; v5e bf16
+    # peak = 197 TFLOP/s
+    flops_tok = model_flops_per_token(cfg)
+    extra = {
+        "quantized_tflops": round(q_tps * flops_tok / 1e12, 1),
+        "quantized_mfu": round(q_tps * flops_tok / 1e12 / 197.0, 3),
+        "bf16_tflops": round(f_tps * flops_tok / 1e12, 1),
+        "bf16_mfu": round(f_tps * flops_tok / 1e12 / 197.0, 3),
+    }
+
+    # Optional full fusion-ladder sweep (QT_BENCH_LADDER=1): tokens/s and
+    # vs_baseline for every rung, no_fusion -> residual_fusion.  Kept
+    # opt-in so the driver's end-of-round run stays inside its watchdog;
+    # the swept numbers are committed as BENCH_LADDER_r{N}.json.
+    if os.environ.get("QT_BENCH_LADDER"):
+        from quantized_training_tpu.quantize import FUSION_LADDER
+        ladder = {}
+        for rung, _cats in FUSION_LADDER:
+            if rung == "residual_fusion":
+                ladder[rung] = {"tokens_per_s": round(q_tps, 1),
+                                "vs_baseline": round(q_tps / f_tps, 4)}
+                continue
+            print(f"measuring ladder rung {rung}...", file=sys.stderr,
+                  flush=True)
+            rmodel, _ = build(quantized=True, rung=rung)
+            rmodel = LlamaForCausalLM(cfg, strip_weight_specs(rmodel.qconfig))
+            r_tps = measure(rmodel, {"params": qvars["params"]}, ids)
+            ladder[rung] = {"tokens_per_s": round(r_tps, 1),
+                            "vs_baseline": round(r_tps / f_tps, 4)}
+        extra["ladder"] = ladder
+
     done.set()
     print(json.dumps({
         "metric": "llama2s_posit8_forward_tokens_per_s",
         "value": round(q_tps, 1),
         "unit": "tokens/s",
         "vs_baseline": round(q_tps / f_tps, 4),
+        **extra,
     }))
 
 
