@@ -1,0 +1,371 @@
+"""Flagship-scale serving benchmark: LLaMA-2 7B / 13B geometry on one v5e.
+
+Composes the full quantized serving stack the framework exists to produce
+(VERDICT r2 item 1): ``build_storage``-packed sub-byte weights (w4a16 RTN
+layout — the same plane-packed layout GPTQ emits) x packed uint2 KIVI KV
+cache x the fused dequant-attention decode kernel x on-device scan decode,
+at real-model geometry (reference serving story: llm_utils.py:43-112 with
+LLaMA-2 7B/13B, README.md:99-106).
+
+Weights are random (accuracy is covered elsewhere — ACCURACY.md); they are
+materialized leaf-by-leaf and packed on device so the dense bf16 tensor for
+the whole model NEVER exists: one v5e (16 GB) cannot even hold 7B bf16
+weights + cache, which is itself the capacity story of w4a16 (3.4 GB codes).
+
+Timing protocol per ROUND1/2 notes: iteration loops on device (lax.scan /
+fori), scalar fetch as completion barrier, two-point (N2-N1) subtraction so
+prefill + dispatch cancel.  Roofline accounting: every decode step must
+stream all weight codes + qparams + the live KV cache from HBM; we report
+bytes/step, achieved GB/s and the fraction of the v5e HBM bound (819 GB/s),
+plus prefill TFLOP/s and MFU against the 197 TFLOP/s bf16 peak.
+
+Prints one JSON line per measurement (collected into BENCH_SERVING7B_r03).
+"""
+
+import json
+import math
+import os
+import sys
+import threading
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+PEAK_HBM_GBS = 819.0      # v5e HBM bandwidth
+PEAK_BF16_TFLOPS = 197.0  # v5e bf16 MXU peak
+
+N1, N2 = 8, 120           # decode-step two-point protocol
+
+
+def start_watchdog(deadline_s: float):
+    """Die loudly if the TPU tunnel hangs (see bench.py)."""
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(deadline_s):
+            print(f"llama7b_serving watchdog: no completion after "
+                  f"{deadline_s:.0f}s — TPU tunnel likely down",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done
+
+
+# --------------------------------------------------------------- weights
+def _insert(tree, keys, val):
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = val
+
+
+def materialize(model, fmt, group, seed=0):
+    """Memory-safe random weights: eval_shape the param tree, then create
+    each leaf on device and pack eligible kernels immediately — peak extra
+    HBM is one f32 kernel (the 4096x32000 lm_head, 0.5 GB)."""
+    from quantized_training_tpu.quantize.storage import _eligible, _pack_kernel
+
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+    )["params"]
+    leaves = jax.tree_util.tree_flatten_with_path(shapes)[0]
+
+    gen_cache = {}
+
+    def rand(key, shape, dtype, scale):
+        sig = (tuple(shape), str(dtype), float(scale))
+        if sig not in gen_cache:
+            gen_cache[sig] = jax.jit(
+                lambda k, shape=tuple(shape), dtype=dtype, scale=scale:
+                (jax.random.normal(k, shape, jnp.float32) * scale
+                 ).astype(dtype))
+        return gen_cache[sig](key)
+
+    pack_jit = jax.jit(lambda w: _pack_kernel(w, fmt, group)) if fmt else None
+
+    key = jax.random.PRNGKey(seed)
+    slim, storage = {}, {}
+    for i, (path, leaf) in enumerate(leaves):
+        keys = tuple(p.key for p in path)
+        key_i = jax.random.fold_in(key, i)
+        if leaf.ndim == 1:
+            _insert(slim, keys, jnp.ones(leaf.shape, leaf.dtype))
+            continue
+        scale = 0.02 if keys[-1] == "embedding" else 1.0 / math.sqrt(
+            leaf.shape[0])
+        if fmt and _eligible(keys, leaf, fmt, group):
+            w = rand(key_i, leaf.shape, jnp.float32, scale)
+            for name, arr in pack_jit(w).items():
+                _insert(storage, keys[:-1] + (name,), arr)
+            del w
+        else:
+            # bf16 for dense kernels/embeddings: halves the baseline
+            # footprint and is the serving dtype anyway
+            _insert(slim, keys, rand(key_i, leaf.shape, jnp.bfloat16, scale))
+    jax.block_until_ready((slim, storage))
+    variables = {"params": slim}
+    if storage:
+        variables["storage"] = storage
+    return variables
+
+
+def tree_bytes(t):
+    return sum(l.size * l.dtype.itemsize for l in jax.tree_util.tree_leaves(t))
+
+
+# ----------------------------------------------------------------- model
+def build(geom: str, fmt, *, batch, max_prefill, max_decode, kivi_bits=2):
+    from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+    from quantized_training_tpu.quantize import QuantConfig
+    from quantized_training_tpu.serving.kv_cache import KVCacheConfig
+    from dataclasses import replace
+
+    base = (LlamaConfig.llama2_7b() if geom == "7b"
+            else LlamaConfig.llama2_13b())
+    kcfg = KVCacheConfig.kivi(
+        max_prefill=max_prefill, max_decode=max_decode,
+        k_spec=f"uint{kivi_bits},qs=group_wise_affine,bs=32,ax=-2",
+        v_spec=f"uint{kivi_bits},qs=group_wise_affine,bs=32,ax=-1",
+        pack=True,
+    )
+    cfg = replace(base, kv_cache=kcfg, use_fused_kivi=True,
+                  use_flash_attention=True,
+                  max_position_embeddings=max_prefill + max_decode)
+    qc = QuantConfig().with_storage(fmt, 64) if fmt else None
+    return LlamaForCausalLM(cfg, qc), cfg
+
+
+# ----------------------------------------------------------------- timing
+def time_prefill(model, variables, ids, repeats=4):
+    """Seconds per padded prefill (B, max_prefill), two-point on-device."""
+    S = ids.shape[1]
+    vocab = model.config.vocab_size
+
+    @partial(jax.jit, static_argnames="n")
+    def run(v, ids0, n):
+        def body(i, carry):
+            ids_i, acc = carry
+            logits, _ = model.apply(
+                v, ids_i, use_cache=True, cache_index=0,
+                prompt_len=jnp.asarray(S, jnp.int32), mutable=["cache"])
+            return (ids_i + 1) % vocab, acc + logits[0, -1, 0]
+        _, acc = jax.lax.fori_loop(0, n, body, (ids0, jnp.float32(0.0)))
+        return acc
+
+    float(run(variables, ids, 1))
+    float(run(variables, ids, 4))
+
+    def timed(n, reps):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(variables, ids, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(4, repeats) - timed(1, 2 * repeats)) / 3
+
+
+def time_decode_steps(model, variables, ids, n_steps, repeats=4):
+    """Total seconds for prefill + n_steps scan decode (decode_bench
+    protocol: call at N1 and N2 and subtract)."""
+    from quantized_training_tpu.serving.generate import fast_argmax
+
+    B, S = ids.shape
+
+    @jax.jit
+    def gen(variables, ids):
+        logits, upd = model.apply(
+            variables, ids, use_cache=True, cache_index=0,
+            prompt_len=jnp.asarray(S, jnp.int32), mutable=["cache"])
+        cache = upd["cache"]
+        tok = fast_argmax(logits[:, -1]).astype(jnp.int32)
+
+        def body(carry, _):
+            cache, tok, pos = carry
+            logits, upd = model.apply(
+                {**variables, "cache": cache}, tok[:, None],
+                use_cache=True, cache_index=pos,
+                prompt_len=jnp.asarray(S, jnp.int32), mutable=["cache"])
+            nxt = fast_argmax(logits[:, -1]).astype(jnp.int32)
+            return (upd["cache"], nxt, pos + 1), None
+
+        (cache, tok, _), _ = jax.lax.scan(
+            body, (cache, tok, jnp.asarray(S, jnp.int32)), None,
+            length=n_steps)
+        return tok
+
+    np.asarray(gen(variables, ids))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(gen(variables, ids))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+# ------------------------------------------------------------ accounting
+def decode_read_bytes(variables, model, cache_proto):
+    """HBM bytes every decode step must stream: all weight storage (codes +
+    qparams) + dense non-embedding params + the full KV cache tier arrays.
+    The embedding table is a 1-row gather, not a stream — excluded."""
+    storage_b = tree_bytes(variables.get("storage", {}))
+    slim = variables["params"]
+    embed_b = tree_bytes(
+        slim.get("model", {}).get("embed_tokens", {}))
+    slim_b = tree_bytes(slim) - embed_b
+    cache_b = tree_bytes(cache_proto)
+    return {"weights_storage": storage_b, "params_dense_nonembed": slim_b,
+            "kv_cache": cache_b,
+            "total": storage_b + slim_b + cache_b}
+
+
+def matmul_params(variables, model):
+    """Weights participating in GEMMs (packed codes count at full logical
+    size; the embedding gather does not)."""
+    n = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            variables["params"])[0]:
+        keys = [p.key for p in path]
+        if keys[-1] == "kernel" and leaf.ndim == 2:
+            n += leaf.size
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            variables.get("storage", {}))[0]:
+        keys = [p.key for p in path]
+        if keys[-1] == "codes":
+            # affine codes are plane-packed along K: logical = size * per
+            per = 1
+            fmt = model.qconfig.storage_fmt
+            if fmt in ("w4a16", "w2a16"):
+                per = 2 if fmt == "w4a16" else 4
+            n += leaf.size * per
+    return n
+
+
+def run_geometry(geom, fmt, *, batch, max_prefill, max_decode, kivi_bits,
+                 label):
+    model, cfg = build(geom, fmt, batch=batch, max_prefill=max_prefill,
+                       max_decode=max_decode, kivi_bits=kivi_bits)
+    print(f"[{label}] materializing weights...", file=sys.stderr, flush=True)
+    variables = materialize(model, fmt, 64)
+    wbytes = tree_bytes(variables)
+    print(f"[{label}] weights on device: {wbytes/2**30:.2f} GiB",
+          file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, max_prefill)))
+
+    # cache proto (for byte accounting): eval_shape only — no allocation
+    _, upd = jax.eval_shape(
+        lambda v, i: model.apply(
+            v, i, use_cache=True, cache_index=0,
+            prompt_len=jnp.asarray(max_prefill, jnp.int32),
+            mutable=["cache"]),
+        variables, ids)
+    cache_bytes = decode_read_bytes(variables, model, upd["cache"])
+
+    # ---- prefill (B=1: engine prefills one slot at a time) --------------
+    ids1 = ids[:1]
+    print(f"[{label}] timing prefill...", file=sys.stderr, flush=True)
+    t_pre = time_prefill(model, variables, ids1)
+    pre_tps = max_prefill / t_pre
+    # causal-flop MFU accounting
+    n_mat = matmul_params(variables, model)
+    L, H, D = cfg.num_hidden_layers, cfg.num_attention_heads, cfg.head_dim
+    S = max_prefill
+    attn_flops = L * 4 * H * D * S * (S + 1) / 2           # qk + av, causal
+    gemm_flops = 2 * n_mat * S
+    tflops = (gemm_flops + attn_flops) / t_pre / 1e12
+    print(json.dumps({
+        "metric": f"{label}_prefill_tokens_per_s",
+        "value": round(pre_tps, 1), "unit": "tokens/s",
+        "batch": 1, "seq": S,
+        "achieved_tflops": round(tflops, 1),
+        "mfu": round(tflops / PEAK_BF16_TFLOPS, 3),
+    }), flush=True)
+
+    # ---- decode ----------------------------------------------------------
+    print(f"[{label}] timing decode...", file=sys.stderr, flush=True)
+    t1 = time_decode_steps(model, variables, ids, N1)
+    t2 = time_decode_steps(model, variables, ids, N2)
+    ms = (t2 - t1) / (N2 - N1) * 1e3
+    tok_s = batch / (ms / 1e3)
+    read_b = cache_bytes["total"]
+    achieved_gbs = read_b / (ms / 1e3) / 1e9
+    print(json.dumps({
+        "metric": f"{label}_decode_ms_per_step",
+        "value": round(ms, 3), "unit": "ms/step",
+        "batch_slots": batch, "prefill": max_prefill,
+        "tokens_per_s": round(tok_s, 1),
+        "tokens_per_s_per_slot": round(tok_s / batch, 2),
+        "hbm_bytes_per_step": {k: int(v) for k, v in cache_bytes.items()},
+        "hbm_bytes_per_token": int(read_b / batch),
+        "achieved_gb_per_s": round(achieved_gbs, 1),
+        "fraction_of_hbm_roofline": round(
+            achieved_gbs / PEAK_HBM_GBS, 3),
+        "roofline_ms_bound": round(read_b / (PEAK_HBM_GBS * 1e9) * 1e3, 3),
+    }), flush=True)
+    return {"decode_ms": ms, "read_bytes": read_b, "weight_bytes": wbytes,
+            "components": cache_bytes, "n_mat": n_mat}
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    done = start_watchdog(float(os.environ.get("QT_BENCH_WATCHDOG_S", "3000")))
+
+    # flagship: 7B w4a16 + packed uint2 KIVI + fused decode + scan decode
+    r_w4 = run_geometry("7b", "w4a16", batch=8, max_prefill=2048,
+                        max_decode=128, kivi_bits=2, label="llama7b_w4a16")
+
+    # bf16-weights baseline at the same geometry: 12.6 GiB of weights +
+    # 2 GiB cache — expected NOT to fit on one 16 GB v5e. If it OOMs, that
+    # IS the result (w4a16 is what makes 7B single-chip); the speed
+    # comparison then falls back to the HBM roofline bound for bf16 bytes.
+    try:
+        r_bf16 = run_geometry("7b", None, batch=8, max_prefill=2048,
+                              max_decode=128, kivi_bits=2,
+                              label="llama7b_bf16")
+        vs = r_bf16["decode_ms"] / r_w4["decode_ms"]
+        note = "measured bf16 baseline"
+        bf16_ms = r_bf16["decode_ms"]
+    except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED expected
+        msg = str(e).splitlines()[0][:160]
+        print(json.dumps({
+            "metric": "llama7b_bf16_weights_fit",
+            "value": 0, "unit": "bool",
+            "note": f"bf16 7B does not fit on one v5e: {msg}",
+        }), flush=True)
+        # roofline-bound bf16 decode: same cache + norm reads, but the GEMM
+        # weights stream as dense bf16 (2 bytes per logical weight).  This
+        # FAVORS the baseline — it assumes a perfect bf16 kernel at 100% of
+        # HBM bandwidth, while our w4a16 number is measured.
+        bf16_read = (r_w4["components"]["kv_cache"]
+                     + r_w4["components"]["params_dense_nonembed"]
+                     + 2 * r_w4["n_mat"])
+        bf16_ms = bf16_read / (PEAK_HBM_GBS * 1e9) * 1e3
+        vs = bf16_ms / r_w4["decode_ms"]
+        note = ("bf16 baseline = HBM roofline bound at 100% bandwidth "
+                "(bf16 weights do not fit on-chip)")
+    print(json.dumps({
+        "metric": "llama7b_w4a16_decode_speedup_vs_bf16",
+        "value": round(vs, 2), "unit": "x",
+        "bf16_ms_per_step": round(bf16_ms, 3),
+        "note": note,
+    }), flush=True)
+
+    # 13B w2a16 (VERDICT: "the same at 13B geometry with w2a16 if it fits")
+    run_geometry("13b", "w2a16", batch=4, max_prefill=2048,
+                 max_decode=128, kivi_bits=2, label="llama13b_w2a16")
+
+    done.set()
+
+
+if __name__ == "__main__":
+    main()
