@@ -47,14 +47,23 @@ def local_mesh(model: Optional[int] = None) -> Mesh:
 
 
 def initialize_multihost(coordinator_address=None, num_processes=None,
-                         process_id=None):
+                         process_id=None, cpu_collectives=None):
     """Join a multi-host job (DCN).  Thin wrapper over
     jax.distributed.initialize.
 
     Errors propagate: a misconfigured multi-host job must fail loudly, not
     silently degrade to single-host.  The only swallowed case is calling this
     twice (already-initialized), which is a harmless no-op.
+
+    ``cpu_collectives``: cross-process collective implementation for the CPU
+    backend ("gloo" or "mpi").  Without one, a multi-process CPU job comes up
+    as N isolated single-process backends (process_count("cpu") == 1) — TPU
+    backends don't need it (collectives ride ICI/DCN natively), but CPU smoke
+    tests of the DCN path do.  Must be set before the backend initializes.
     """
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation",
+                          cpu_collectives)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -75,23 +75,34 @@ class DistributedEngine(ContinuousBatchingEngine):
 
     # ------------------------------------------------------------- multihost
     def sync_queue(self) -> None:
-        """Broadcast process 0's pending queue to every process so all hosts
-        dispatch identical SPMD programs.  Identity with one process."""
-        if jax.process_count() == 1:
+        """Broadcast the root process's pending queue to every process so all
+        hosts dispatch identical SPMD programs.  Identity with one process.
+
+        Process identity is derived from the *mesh* (parallel/multihost.py),
+        not jax's default backend — jax.process_count() lies when the mesh
+        lives on a non-default backend (caught by tests/test_multiprocess.py).
+        """
+        from ..parallel.multihost import (
+            broadcast_from_root, mesh_process_count, mesh_process_indices,
+            my_process_index,
+        )
+
+        if mesh_process_count(self.mesh) == 1:
             return
-        from jax.experimental import multihost_utils
+        is_root = my_process_index(self.mesh) == mesh_process_indices(
+            self.mesh)[0]
 
         # Serialize the queue to fixed-shape arrays (id, budget, len, tokens).
         MAXP = self.kcfg.max_prefill
-        n = len(self.queue) if jax.process_index() == 0 else 0
-        n = int(multihost_utils.broadcast_one_to_all(np.int32(n)))
+        n = len(self.queue) if is_root else 0
+        n = int(broadcast_from_root(np.int32(n), self.mesh))
         flat = np.zeros((n, MAXP + 3), np.int32)
-        if jax.process_index() == 0:
+        if is_root:
             for i, (rid, ids, budget) in enumerate(self.queue[:n]):
                 ids = np.asarray(ids).reshape(-1)[-MAXP:]
                 flat[i, 0], flat[i, 1], flat[i, 2] = rid, budget, len(ids)
                 flat[i, 3:3 + len(ids)] = ids
-        flat = np.asarray(multihost_utils.broadcast_one_to_all(flat))
+        flat = broadcast_from_root(flat, self.mesh)
         self.queue = [
             (int(r[0]), r[3:3 + int(r[2])].copy(), int(r[1])) for r in flat
         ]
@@ -142,12 +153,13 @@ class DistributedEngine(ContinuousBatchingEngine):
 
     def _publish_next(self, nxt) -> np.ndarray:
         # Host-side scheduling needs every slot's token on every process; the
-        # sampled ids are data-sharded, so gather across processes first.
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+        # sampled ids are data-sharded, so reshard to replicated on the
+        # engine's own mesh first (multihost_utils would gather over the
+        # default backend, which may not be the mesh's backend).
+        from ..parallel.multihost import mesh_process_count, replicate_to_host
 
-            nxt_host = np.asarray(
-                multihost_utils.process_allgather(nxt, tiled=True))
+        if mesh_process_count(self.mesh) > 1:
+            nxt_host = replicate_to_host(nxt, self.mesh)
         else:
             nxt_host = np.asarray(nxt)
         self.tokens = jax.device_put(nxt[:, None], self._tok_sharding)
