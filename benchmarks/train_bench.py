@@ -1,0 +1,235 @@
+"""Quantized train-step benchmark: QAT fine-tuning step vs bf16 on one chip.
+
+The reference is a *fine-tuning* paper — its hot loop is the fake-quantized
+forward + error-quantized backward of
+reference: src/quantized_training/quantize.py:52-193 +
+fake_quantize.py:197-252 — yet rounds 1-2 only ever timed forward/decode.
+This measures the full jitted train step at the bench geometry
+(bench.py: 2048-hidden / 8-layer LLaMA stack, batch 4 x seq 1024):
+
+  * bf16 arm:      plain model, adamw
+  * quantized arm: posit8 activations+weights forward, posit8 error
+                   (gradient) quantization on the backward, flash-attention
+                   Pallas backward kernels, and 8-bit blockwise Adam
+
+plus an isolated flash-attention forward+backward kernel timing vs the XLA
+naive attention at the same shape.
+
+Timing protocol per ROUND1/2 notes: the step loop runs on device
+(lax.fori_loop threading TrainState), scalar fetch as the completion
+barrier, two-point (N2-N1) subtraction to cancel dispatch + compile-cache
+lookup.  Prints one JSON line per measurement.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import optax
+
+PEAK_BF16_TFLOPS = 197.0  # v5e
+
+N1, N2 = 2, 8
+
+
+def start_watchdog(deadline_s: float):
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(deadline_s):
+            print(f"train_bench watchdog: no completion after "
+                  f"{deadline_s:.0f}s — TPU tunnel likely down",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done
+
+
+def build(quantized: bool):
+    from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
+    from quantized_training_tpu.quantize import QConfig, QuantConfig
+
+    cfg = LlamaConfig(
+        vocab_size=32000,
+        hidden_size=2048,
+        intermediate_size=5504,
+        num_hidden_layers=8,
+        num_attention_heads=16,
+        num_key_value_heads=16,
+        max_position_embeddings=1024,
+        use_flash_attention=True,
+    )
+    qc = None
+    if quantized:
+        qc = QuantConfig(
+            global_qconfig=QConfig.from_strs(
+                activation="posit8_1", weight="posit8_1", error="posit8_1",
+            )
+        ).with_fusion(forward="gemm", backward="gemm")
+    return LlamaForCausalLM(cfg, qc), cfg
+
+
+def time_train_steps(model, tx, ids, repeats=4):
+    """Seconds per train step, on-device fori over TrainState."""
+    from quantized_training_tpu.training import (
+        TrainState, causal_lm_loss, make_train_step,
+    )
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+    state = TrainState.create(model, variables, tx)
+    step = make_train_step(model, tx, causal_lm_loss)
+
+    vocab = model.config.vocab_size
+
+    @partial(jax.jit, static_argnames="n")
+    def run(state, ids0, n):
+        def body(i, carry):
+            state, ids_i = carry
+            # step is jax.jit-wrapped; calling it under trace inlines it
+            state, _ = step(state, {"input_ids": ids_i})
+            return state, (ids_i + 1) % vocab
+        state, _ = jax.lax.fori_loop(0, n, body, (state, ids0))
+        return state.step, jax.tree_util.tree_leaves(state.params)[0].ravel()[0]
+
+    def timed(n, reps):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            s, p = run(state, ids, n)
+            float(p)  # scalar fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    float(run(state, ids, N1)[1])  # compile
+    float(run(state, ids, N2)[1])  # compile
+    return (timed(N2, repeats) - timed(N1, 2 * repeats)) / (N2 - N1)
+
+
+def train_flops_per_token(cfg, S):
+    """3x forward GEMM FLOPs (fwd + dgrad + wgrad), causal attention."""
+    h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    gemm = L * (4 * h * h + 3 * h * inter) + h * cfg.vocab_size
+    attn = L * 4 * cfg.num_attention_heads * cfg.head_dim * (S + 1) / 2
+    return 3 * (2 * gemm + attn)
+
+
+def flash_kernel_bench(B, H, S, D, repeats=6):
+    """Isolated flash fwd+bwd vs XLA naive attention at the bench shape."""
+    from quantized_training_tpu.ops.pallas.flash_attention import (
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, S, D)) * 0.5, jnp.bfloat16)
+               for _ in range(3))
+
+    def naive(q, k, v):
+        s = jnp.einsum("bhsd,bhtd->bhst", q, k).astype(jnp.float32)
+        s = s / np.sqrt(D)
+        mask = jnp.tril(jnp.ones((S, S), bool))
+        s = jnp.where(mask, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        return jnp.einsum("bhst,bhtd->bhsd", p, v)
+
+    def flash(q, k, v):
+        return flash_attention(q, k, v, causal=True)
+
+    def fwd_bwd(attn):
+        def loss(q, k, v):
+            return jnp.sum(attn(q, k, v).astype(jnp.float32) ** 2)
+        g = jax.grad(loss, argnums=(0, 1, 2))
+
+        @partial(jax.jit, static_argnames="n")
+        def run(q, k, v, n):
+            def body(i, carry):
+                q, acc = carry
+                dq, dk, dv = g(q, k, v)
+                return q + 1e-6 * dq.astype(q.dtype), acc + dk[0, 0, 0, 0]
+            _, acc = jax.lax.fori_loop(
+                0, n, body, (q, jnp.float32(0.0)))
+            return acc
+        return run
+
+    out = {}
+    for name, attn in (("flash", flash), ("naive_xla", naive)):
+        run = fwd_bwd(attn)
+        float(run(q, k, v, 1))
+        float(run(q, k, v, 9))
+
+        def timed(n, reps):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(run(q, k, v, n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        out[name] = (timed(9, repeats) - timed(1, 2 * repeats)) / 8
+    return out
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    done = start_watchdog(float(os.environ.get("QT_BENCH_WATCHDOG_S", "2400")))
+
+    from quantized_training_tpu.training import adam8bit
+
+    batch, seq = 4, 1024
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 32000, (batch, seq)))
+
+    # --- full train step: quantized (posit8 fwd + posit8 error bwd +
+    # adam8bit) vs bf16 + adamw -------------------------------------------
+    fmodel, cfg = build(quantized=False)
+    print("timing bf16 train step...", file=sys.stderr, flush=True)
+    t_bf16 = time_train_steps(fmodel, optax.adamw(1e-4), ids)
+
+    qmodel, _ = build(quantized=True)
+    print("timing quantized train step...", file=sys.stderr, flush=True)
+    t_q = time_train_steps(qmodel, adam8bit(1e-4), ids)
+
+    ftok = train_flops_per_token(cfg, seq)
+    toks = batch * seq
+    for name, t in (("bf16", t_bf16), ("posit8_adam8bit", t_q)):
+        tflops = toks * ftok / t / 1e12
+        print(json.dumps({
+            "metric": f"train_step_{name}_ms",
+            "value": round(t * 1e3, 2), "unit": "ms/step",
+            "tokens_per_s": round(toks / t, 1),
+            "achieved_tflops": round(tflops, 1),
+            "mfu": round(tflops / PEAK_BF16_TFLOPS, 3),
+        }), flush=True)
+    print(json.dumps({
+        "metric": "train_step_quantized_vs_bf16",
+        "value": round(t_bf16 / t_q, 4), "unit": "x",
+        "note": "ratio >1 means the quantized train step is faster",
+    }), flush=True)
+
+    # --- isolated flash fwd+bwd kernel vs XLA naive -----------------------
+    print("timing flash fwd+bwd kernel...", file=sys.stderr, flush=True)
+    kt = flash_kernel_bench(B=batch, H=cfg.num_attention_heads, S=seq,
+                            D=cfg.head_dim)
+    print(json.dumps({
+        "metric": "flash_attention_fwd_bwd_ms",
+        "value": round(kt["flash"] * 1e3, 3), "unit": "ms",
+        "naive_xla_ms": round(kt["naive_xla"] * 1e3, 3),
+        "speedup_vs_naive": round(kt["naive_xla"] / kt["flash"], 2),
+        "shape": f"B{batch} H{cfg.num_attention_heads} S{seq} "
+                 f"D{cfg.head_dim} causal",
+    }), flush=True)
+
+    done.set()
+
+
+if __name__ == "__main__":
+    main()
