@@ -105,6 +105,21 @@ def main():
                 yield feats, toks
         else:
             import glob
+            # raw waveforms (audio_*.npy, float PCM at 16 kHz) go through
+            # the jnp log-mel frontend; precomputed features (feats_*.npy)
+            # are consumed as-is
+            from quantized_training_tpu.data.audio import log_mel_spectrogram
+            raw = sorted(glob.glob(os.path.join(args.data_dir,
+                                                "audio_*.npy")))
+            for f in raw:
+                wav = np.load(f)
+                feats = np.asarray(log_mel_spectrogram(jnp.asarray(wav)))
+                # crop/pad time axis to the encoder's expected T
+                feats = feats[..., :T] if feats.shape[-1] >= T else np.pad(
+                    feats, ((0, 0), (0, 0), (0, T - feats.shape[-1])))
+                toks = np.load(f.replace("audio_", "tokens_"))
+                for i in range(0, len(feats) - bs + 1, bs):
+                    yield feats[i:i + bs], toks[i:i + bs]
             for f in sorted(glob.glob(os.path.join(args.data_dir,
                                                    "feats_*.npy"))):
                 feats = np.load(f)
