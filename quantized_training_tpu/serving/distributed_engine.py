@@ -40,7 +40,7 @@ from ..parallel.mesh import DATA_AXIS
 from ..parallel.sharding import (
     Rules, apply_sharding_rules, shard_pytree, shard_rules_llama,
 )
-from .engine import ContinuousBatchingEngine
+from .engine import ContinuousBatchingEngine, SamplingParams
 
 __all__ = ["DistributedEngine", "decode_collective_report"]
 
@@ -92,20 +92,64 @@ class DistributedEngine(ContinuousBatchingEngine):
         is_root = my_process_index(self.mesh) == mesh_process_indices(
             self.mesh)[0]
 
-        # Serialize the queue to fixed-shape arrays (id, budget, len, tokens).
+        # Serialize the queue to fixed-shape int32 rows:
+        #   [rid, budget, len, temp(bits), top_k, top_p(bits),
+        #    stop region (STOPW ints: repeated (len, tokens...), 0-len ends),
+        #    prompt tokens (MAXP)]
+        # Float sampling params travel bit-cast; stop sequences that overflow
+        # the fixed region are dropped with a warning (host-side match only).
         MAXP = self.kcfg.max_prefill
+        STOPW = 32
+        HDR = 6
         n = len(self.queue) if is_root else 0
         n = int(broadcast_from_root(np.int32(n), self.mesh))
-        flat = np.zeros((n, MAXP + 3), np.int32)
+        flat = np.zeros((n, HDR + STOPW + MAXP), np.int32)
         if is_root:
-            for i, (rid, ids, budget) in enumerate(self.queue[:n]):
+            for i, (rid, ids, budget, pr) in enumerate(self.queue[:n]):
                 ids = np.asarray(ids).reshape(-1)[-MAXP:]
                 flat[i, 0], flat[i, 1], flat[i, 2] = rid, budget, len(ids)
-                flat[i, 3:3 + len(ids)] = ids
+                flat[i, 3] = np.float32(pr.temperature).view(np.int32)
+                flat[i, 4] = pr.top_k
+                flat[i, 5] = np.float32(pr.top_p).view(np.int32)
+                w = HDR
+                for seq in pr.stop:
+                    if w + 1 + len(seq) > HDR + STOPW:
+                        import warnings
+                        warnings.warn(
+                            "sync_queue: stop sequences exceed the "
+                            f"{STOPW}-int wire region; extras dropped")
+                        break
+                    flat[i, w] = len(seq)
+                    flat[i, w + 1:w + 1 + len(seq)] = seq
+                    w += 1 + len(seq)
+                flat[i, HDR + STOPW:HDR + STOPW + len(ids)] = ids
         flat = broadcast_from_root(flat, self.mesh)
+
+        def _params(r):
+            stop = []
+            w = HDR
+            while w < HDR + STOPW and r[w] > 0:
+                L = int(r[w])
+                stop.append(tuple(int(t) for t in r[w + 1:w + 1 + L]))
+                w += 1 + L
+            return SamplingParams(
+                temperature=float(r[3:4].view(np.float32)[0]),
+                top_k=int(r[4]),
+                top_p=float(r[5:6].view(np.float32)[0]),
+                stop=tuple(stop),
+            )
+
         self.queue = [
-            (int(r[0]), r[3:3 + int(r[2])].copy(), int(r[1])) for r in flat
+            (int(r[0]), r[HDR + STOPW:HDR + STOPW + int(r[2])].copy(),
+             int(r[1]), _params(r))
+            for r in flat
         ]
+        # a synced non-greedy request must flip every process's decode
+        # program, not just the submitting one
+        if any(p.temperature != 0.0 for *_, p in self.queue) \
+                and not self._dynamic_sampling:
+            self._dynamic_sampling = True
+            self._decode = None
         # keep ids monotonic: never move _next_id backwards (process 0 may
         # already have handed out higher ids; an empty queue must not reset)
         self._next_id = max(
@@ -144,9 +188,11 @@ class DistributedEngine(ContinuousBatchingEngine):
 
             self._merge = merge
         from .generate import _sample
+        pr = self.slots[b].params
         next_tok = _sample(
-            logits[0, S - 1][None], prefill_rng, self.temperature,
-            self.top_k, self.top_p)[0].astype(jnp.int32)
+            logits[0, S - 1][None], prefill_rng, pr.temperature,
+            pr.top_k or None,
+            pr.top_p if pr.top_p < 1.0 else None)[0].astype(jnp.int32)
         self.cache, self.tokens = self._merge(
             self.cache, small, b, self.tokens, next_tok)
         self.slots[b].generated = [int(jax.device_get(next_tok))]
@@ -165,6 +211,11 @@ class DistributedEngine(ContinuousBatchingEngine):
         self.tokens = jax.device_put(nxt[:, None], self._tok_sharding)
         return nxt_host
 
+    def _put_slot_array(self, arr: np.ndarray):
+        # per-slot sampling params follow the slots over the data axis
+        return jax.device_put(
+            jnp.asarray(arr), NamedSharding(self.mesh, P(DATA_AXIS)))
+
     def _decode_jit_kwargs(self):
         assert self._cache_shardings is not None
         return {"out_shardings": (self._cache_shardings,
@@ -179,9 +230,10 @@ def decode_collective_report(engine: DistributedEngine) -> Dict[str, int]:
     if engine.cache is None:
         engine._init_cache()
     main_len, res_len = engine._lengths()
+    temp_b, topk_b, topp_b = engine._slot_sampling_arrays()
     lowered = engine._decode_fn().lower(
         engine.variables, engine.cache, engine.tokens, main_len, res_len,
-        jax.random.PRNGKey(0))
+        jax.random.PRNGKey(0), temp_b, topk_b, topp_b)
     text = lowered.compile().as_text()
     report = {}
     for op in _COLLECTIVES:

@@ -21,10 +21,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .generate import _sample, fast_argmax
+from .generate import _sample, fast_argmax, sample_batch
 from .kv_cache import KVCacheConfig
 
-__all__ = ["ContinuousBatchingEngine"]
+__all__ = ["ContinuousBatchingEngine", "SamplingParams"]
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Per-request sampling overrides.  ``temperature`` 0 = greedy;
+    ``top_k`` 0 = disabled; ``top_p`` 1.0 = disabled.  ``stop``: token-id
+    sequences that end the request (matched host-side on the generated
+    tail and trimmed from the output)."""
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    stop: Tuple[Tuple[int, ...], ...] = ()
 
 
 @dataclass
@@ -33,6 +45,7 @@ class _Slot:
     prompt_len: int = 0
     generated: List[int] = field(default_factory=list)
     budget: int = 0
+    params: SamplingParams = field(default_factory=SamplingParams)
 
 
 class ContinuousBatchingEngine:
@@ -47,7 +60,9 @@ class ContinuousBatchingEngine:
                  eos_token_id: Optional[int] = None,
                  temperature: float = 0.0, top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 prefill_buckets: Optional[List[int]] = None,
+                 max_top_k: int = 64):
         assert model.config.kv_cache is not None, "model needs a kv_cache"
         self.model = model
         self.variables = {k: v for k, v in variables.items() if k != "cache"}
@@ -59,10 +74,11 @@ class ContinuousBatchingEngine:
         self.top_k = top_k
         self.top_p = top_p
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.max_top_k = max_top_k
         cfg = model.config
         self.cache = None  # jax pytree {layer_path: QuantizedKVCache-like}
         self.slots = [_Slot() for _ in range(batch_slots)]
-        self.queue: List[Tuple[int, np.ndarray, int]] = []
+        self.queue: List[Tuple[int, np.ndarray, int, SamplingParams]] = []
         self.finished: Dict[int, List[int]] = {}
         self._next_id = 0
         self.tokens = jnp.zeros((batch_slots, 1), jnp.int32)
@@ -70,13 +86,47 @@ class ContinuousBatchingEngine:
         self._prefill = None
         self._dummy = jnp.zeros(
             (batch_slots, min(8, self.kcfg.max_prefill)), jnp.int32)
+        # Prefill length buckets: a short prompt pads only to the smallest
+        # bucket >= its length instead of the full max_prefill, cutting
+        # prefill compute up to 4x in mixed-length workloads.  Each bucket
+        # is one extra lazy compile of the prefill program (jit caches by
+        # shape); the stored cache is bit-identical either way because
+        # prefill_cache pads + masks to max_prefill internally.
+        P = self.kcfg.max_prefill
+        if prefill_buckets is None:
+            prefill_buckets = sorted({min(P, max(32, P // 4)),
+                                      min(P, max(32, P // 2)), P})
+        assert all(1 <= b <= P for b in prefill_buckets), prefill_buckets
+        self.prefill_buckets = sorted(set(prefill_buckets) | {P})
+        # whether any non-greedy sampling is in play; flips the decode
+        # program between the static greedy fast path and per-slot sampling
+        self._dynamic_sampling = (self.temperature != 0.0
+                                  or top_k is not None or top_p is not None)
 
     # ------------------------------------------------------------------ API
-    def submit(self, prompt_ids: np.ndarray, max_new_tokens: int) -> int:
+    def submit(self, prompt_ids: np.ndarray, max_new_tokens: int, *,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None,
+               stop: Optional[List[List[int]]] = None) -> int:
+        """Queue a request.  Sampling kwargs override the engine defaults for
+        this request only; ``stop`` is a list of token-id sequences that end
+        the request (trimmed from the returned tokens)."""
         rid = self._next_id
         self._next_id += 1
+        params = SamplingParams(
+            temperature=self.temperature if temperature is None
+            else float(temperature),
+            top_k=(self.top_k or 0) if top_k is None else int(top_k),
+            top_p=(1.0 if self.top_p is None else self.top_p)
+            if top_p is None else float(top_p),
+            stop=tuple(tuple(int(t) for t in s) for s in (stop or ())),
+        )
+        if params.temperature != 0.0 and not self._dynamic_sampling:
+            self._dynamic_sampling = True
+            self._decode = None  # switch decode program to per-slot sampling
         self.queue.append((rid, np.asarray(prompt_ids).reshape(-1),
-                           max_new_tokens))
+                           max_new_tokens, params))
         return rid
 
     def run(self) -> Dict[int, List[int]]:
@@ -107,10 +157,11 @@ class ContinuousBatchingEngine:
     def _fill_slots(self):
         for b, slot in enumerate(self.slots):
             if slot.request_id is None and self.queue:
-                rid, ids, budget = self.queue.pop(0)
+                rid, ids, budget, params = self.queue.pop(0)
                 slot.request_id = rid
                 slot.prompt_len = len(ids)
                 slot.budget = budget
+                slot.params = params
                 # prefill seeds slot.generated with the first sampled token
                 self._prefill_slot(b, ids)
 
@@ -120,7 +171,10 @@ class ContinuousBatchingEngine:
         P = self.kcfg.max_prefill
         ids = ids[-P:]
         S = len(ids)
-        padded = np.zeros((1, P), np.int32)
+        # smallest bucket that fits the prompt (cache content is identical
+        # for any pad length; see prefill_buckets in __init__)
+        bucket = next(bk for bk in self.prefill_buckets if bk >= S)
+        padded = np.zeros((1, bucket), np.int32)
         padded[0, :S] = ids
         # Fixed-shape padded prefill with the true length threaded through:
         # one compile serves every prompt length (this backend's compiles
@@ -144,10 +198,12 @@ class ContinuousBatchingEngine:
                 big, small_leaf.astype(big.dtype), start)
 
         self.cache = jax.tree_util.tree_map(merge, self.cache, small)
-        # last *real* token's logits (host-side gather; S is host-known)
+        # last *real* token's logits (host-side gather; S is host-known),
+        # sampled with this request's own params
+        pr = self.slots[b].params
         next_tok = int(np.asarray(_sample(
-            logits[0, S - 1][None], prefill_rng, self.temperature,
-            self.top_k, self.top_p))[0])
+            logits[0, S - 1][None], prefill_rng, pr.temperature,
+            pr.top_k or None, pr.top_p if pr.top_p < 1.0 else None))[0])
         self.tokens = self.tokens.at[b, 0].set(next_tok)
         self.slots[b].generated = [next_tok]
 
@@ -175,9 +231,11 @@ class ContinuousBatchingEngine:
         model, kcfg = self.model, self.kcfg
         temperature, top_k = self.temperature, self.top_k
         top_p = self.top_p
+        dynamic, max_top_k = self._dynamic_sampling, self.max_top_k
 
         @partial(jax.jit, **self._decode_jit_kwargs())
-        def decode(variables, cache, tokens, main_len, res_len, rng):
+        def decode(variables, cache, tokens, main_len, res_len, rng,
+                   temp_b, topk_b, topp_b):
             positions = (main_len + res_len)[:, None]
             # No explicit mask: the attention layer derives per-slot
             # visibility from the cache lengths (and can use the fused
@@ -186,12 +244,36 @@ class ContinuousBatchingEngine:
                 {**variables, "cache": cache}, tokens,
                 positions=positions,
                 use_cache=True, mutable=["cache"])
-            nxt = _sample(logits[:, -1], rng, temperature,
-                          top_k, top_p).astype(jnp.int32)
+            if dynamic:
+                # per-slot sampling params (temperature 0 rows stay greedy)
+                nxt = sample_batch(logits[:, -1], rng, temp_b, topk_b,
+                                   topp_b, max_top_k=max_top_k)
+            else:
+                # all-greedy fast path: identical program to the pre-params
+                # engine (no top_k op in the decode program at all)
+                nxt = _sample(logits[:, -1], rng, temperature,
+                              top_k, top_p).astype(jnp.int32)
             return upd["cache"], nxt
 
         self._decode = decode
         return decode
+
+    def _slot_sampling_arrays(self):
+        temp = np.zeros(self.B, np.float32)
+        topk = np.zeros(self.B, np.int32)
+        topp = np.ones(self.B, np.float32)
+        for b, slot in enumerate(self.slots):
+            if slot.request_id is not None:
+                temp[b] = slot.params.temperature
+                topk[b] = slot.params.top_k
+                topp[b] = slot.params.top_p
+        return (self._put_slot_array(temp), self._put_slot_array(topk),
+                self._put_slot_array(topp))
+
+    def _put_slot_array(self, arr: np.ndarray):
+        """Place a per-slot host array (the distributed engine pins it to
+        the data-axis sharding)."""
+        return jnp.asarray(arr)
 
     def step(self):
         if self.cache is None:
@@ -199,9 +281,10 @@ class ContinuousBatchingEngine:
         main_len, res_len = self._lengths()
         decode = self._decode_fn()
         self._rng, step_rng = jax.random.split(self._rng)
+        temp_b, topk_b, topp_b = self._slot_sampling_arrays()
         self.cache, nxt = decode(
             self.variables, self.cache, self.tokens, main_len, res_len,
-            step_rng)
+            step_rng, temp_b, topk_b, topp_b)
         nxt_host = self._publish_next(nxt)
         for b, slot in enumerate(self.slots):
             if slot.request_id is None:
@@ -211,6 +294,14 @@ class ContinuousBatchingEngine:
             done = (self.eos is not None and tok == self.eos) or \
                 len(slot.generated) >= slot.budget or \
                 len(slot.generated) >= self.kcfg.max_decode
+            # host-side stop-sequence match on the generated tail
+            for seq in slot.params.stop:
+                L = len(seq)
+                if L and len(slot.generated) >= L and \
+                        tuple(slot.generated[-L:]) == seq:
+                    slot.generated = slot.generated[:-L]  # trim the stop
+                    done = True
+                    break
             if done:
                 self.finished[slot.request_id] = slot.generated
                 slot.request_id = None

@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["generate", "fast_argmax"]
+__all__ = ["generate", "fast_argmax", "sample_batch"]
 
 
 def fast_argmax(logits: jax.Array, axis: int = -1) -> jax.Array:
@@ -63,6 +63,36 @@ def _sample(logits, rng, temperature: float, top_k: Optional[int],
         kth = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True)
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     return jax.random.categorical(rng, logits, axis=-1)
+
+
+def sample_batch(logits, rng, temperature, top_k, top_p, max_top_k: int = 64):
+    """Per-row sampling for the batched engines (per-request params).
+
+    ``temperature`` (B,) f32 — 0 selects greedy for that row; ``top_k``
+    (B,) int32 — 0 disables; ``top_p`` (B,) f32 — 1.0 disables.  Non-greedy
+    rows sample within the top-``max_top_k`` candidates (HF-style
+    compose: top-k prunes first, nucleus within the survivors), so the
+    decode program never sorts the full vocab; per-row top_k is clipped to
+    ``max_top_k``.
+    """
+    B, V = logits.shape
+    K = min(max_top_k, V)
+    vals, idx = jax.lax.top_k(logits.astype(jnp.float32), K)  # descending
+    t = jnp.maximum(temperature[:, None].astype(jnp.float32), 1e-6)
+    v = vals / t
+    rank = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    keff = jnp.where(top_k > 0, jnp.minimum(top_k, K), K)[:, None]
+    v = jnp.where(rank < keff, v, -jnp.inf)
+    probs = jax.nn.softmax(v, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens whose cumulative mass *before* them is < top_p (top-1
+    # always survives), same rule as _sample
+    keep = ((cum - probs) < top_p[:, None]) & (rank < keff)
+    v = jnp.where(keep, v, -jnp.inf)
+    choice = jax.random.categorical(rng, v, axis=-1)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    greedy = fast_argmax(logits, axis=-1)
+    return jnp.where(temperature <= 0.0, greedy, sampled).astype(jnp.int32)
 
 
 def generate(

@@ -65,13 +65,23 @@ vars_ = model.init(jax.random.PRNGKey(0), ids0)  # same seed => same on both
 gmesh = Mesh(np.asarray(cpus).reshape(2, 2), ("data", "model"))
 eng = DistributedEngine(model, {"params": vars_["params"]}, gmesh,
                         batch_slots=2)
+from quantized_training_tpu.serving.engine import SamplingParams
+
 if pid == 0:  # only the front-end host sees requests
     rng = np.random.default_rng(7)
-    for n in (6, 11, 4):
-        eng.submit(rng.integers(0, 256, n), max_new_tokens=4)
-out = eng.run()  # run() -> sync_queue() broadcasts process 0's queue
+    eng.submit(rng.integers(0, 256, 6), max_new_tokens=4)
+    # per-request sampling params + stop sequences ride the queue broadcast
+    eng.submit(rng.integers(0, 256, 11), max_new_tokens=4,
+               temperature=0.8, top_k=12, top_p=0.9, stop=[[3, 1]])
+    eng.submit(rng.integers(0, 256, 4), max_new_tokens=4)
+eng.sync_queue()
+# the synced params must round-trip the int32 wire exactly on every process
+assert eng.queue[1][3] == SamplingParams(
+    temperature=np.float32(0.8), top_k=12, top_p=np.float32(0.9),
+    stop=((3, 1),)), eng.queue[1][3]
+out = eng.run()
 assert set(out.keys()) == {0, 1, 2}, out.keys()
-assert all(len(v) == 4 for v in out.values()), out
+assert all(len(v) <= 4 for v in out.values()), out
 
 # identical tokens on every process
 from jax.experimental import multihost_utils

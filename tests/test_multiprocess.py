@@ -32,7 +32,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
 def test_two_process_multihost_and_sync_queue():
     try:
         port = _free_port()

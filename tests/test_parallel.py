@@ -368,8 +368,9 @@ class TestDistributedEngine:
         )
         model, vars_, rng = self._model_and_vars(kivi=False)
         eng = DistributedEngine(model, vars_, cpu_mesh(2, 2), batch_slots=4)
-        eng.submit(rng.integers(0, 256, 5), max_new_tokens=3)
-        before = [(r, list(i), b) for r, i, b in eng.queue]
+        eng.submit(rng.integers(0, 256, 5), max_new_tokens=3,
+                   temperature=0.7, top_k=5, stop=[[9, 8]])
+        before = [(r, list(i), b, p) for r, i, b, p in eng.queue]
         eng.sync_queue()
-        after = [(r, list(i), b) for r, i, b in eng.queue]
+        after = [(r, list(i), b, p) for r, i, b, p in eng.queue]
         assert before == after

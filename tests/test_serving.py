@@ -622,3 +622,65 @@ class TestEngineSampling:
         ref = generate(eng.model, {"params": eng.variables["params"]},
                        jnp.asarray(prompt[None]), max_new_tokens=4)
         assert eng.run()[rid] == np.asarray(ref[0, 8:]).tolist()
+
+
+class TestEngineRequestParams:
+    """Per-request sampling params, stop sequences, and prefill buckets."""
+
+    def _engine(self, max_prefill=8, **kw):
+        from quantized_training_tpu.serving.engine import (
+            ContinuousBatchingEngine,
+        )
+        kcfg = KVCacheConfig(max_prefill=max_prefill, max_decode=8)
+        cfg = LlamaConfig.tiny(max_position_embeddings=256, kv_cache=kcfg)
+        model = LlamaForCausalLM(cfg, None)
+        rng = np.random.default_rng(13)
+        ids0 = jnp.asarray(rng.integers(0, 256, (1, 8)))
+        vars_ = model.init(jax.random.PRNGKey(0), ids0)
+        return ContinuousBatchingEngine(
+            model, {"params": vars_["params"]}, batch_slots=2, **kw), rng
+
+    def test_per_request_params_mix_greedy_and_sampled(self):
+        """A greedy and a sampled request decode in the same batch; the
+        greedy one matches generate() exactly."""
+        eng, rng = self._engine()
+        prompt = rng.integers(0, 256, 8)
+        ref = generate(eng.model, {"params": eng.variables["params"]},
+                       jnp.asarray(prompt[None]), max_new_tokens=4)
+        r_greedy = eng.submit(prompt, max_new_tokens=4)
+        r_sampled = eng.submit(rng.integers(0, 256, 6), max_new_tokens=4,
+                               temperature=0.9, top_k=10, top_p=0.9)
+        out = eng.run()
+        assert out[r_greedy] == np.asarray(ref[0, 8:]).tolist()
+        assert len(out[r_sampled]) == 4
+
+    def test_stop_sequence_ends_and_trims(self):
+        """A stop sequence equal to the first greedy tokens ends the request
+        immediately with the stop trimmed."""
+        eng, rng = self._engine()
+        prompt = rng.integers(0, 256, 8)
+        base = eng.submit(prompt, max_new_tokens=6)
+        first = eng.run()[base][:2]
+
+        eng2, _ = self._engine()
+        rid = eng2.submit(prompt, max_new_tokens=6, stop=[list(first)])
+        out = eng2.run()
+        assert out[rid] == []  # stopped at the 2nd token, both trimmed
+
+        # stop sequence that never occurs changes nothing
+        eng3, _ = self._engine()
+        rid3 = eng3.submit(prompt, max_new_tokens=6, stop=[[257, 258]])
+        full = eng3.run()[rid3]
+        assert len(full) == 6
+
+    def test_prefill_buckets_tokens_identical(self):
+        """Bucketed prefill (pad to 64/128/256) produces token-for-token the
+        same output as single-bucket (pad to max_prefill) for every length."""
+        eng_b, rng = self._engine(max_prefill=256)
+        assert eng_b.prefill_buckets == [64, 128, 256]
+        eng_1, _ = self._engine(max_prefill=256, prefill_buckets=[256])
+        prompts = [rng.integers(0, 256, n) for n in (5, 64, 100, 256)]
+        rb = [eng_b.submit(p, max_new_tokens=4) for p in prompts]
+        r1 = [eng_1.submit(p, max_new_tokens=4) for p in prompts]
+        ob, o1 = eng_b.run(), eng_1.run()
+        assert [ob[r] for r in rb] == [o1[r] for r in r1]
