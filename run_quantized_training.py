@@ -119,9 +119,17 @@ def build_commands(args):
     if args.task in {"mnli", "qnli", "mrpc", "sst2"}:
         base = [sys.executable, os.path.join(REPO, "examples/run_glue.py"),
                 "--task_name", args.task, "--max_seq_length", "128"]
+        if args.data_json:
+            base += ["--data_json", args.data_json]
     elif args.task == "squad":
-        base = [sys.executable, os.path.join(REPO, "examples/run_squad.py"),
+        # training driver (reference run_quantized_training.py:145 launches
+        # run_qa_no_trainer.py); the ladder sweep over a trained checkpoint
+        # is examples/run_squad.py
+        model_type = ("mobilebert" if "mobilebert" in args.model
+                      else "roberta" if "roberta" in args.model else "bert")
+        base = [sys.executable, os.path.join(REPO, "examples/run_qa.py"),
                 "--squad_json", args.squad_json or "squad_dev.json",
+                "--model_type", model_type,
                 "--max_seq_length", "384"]
     elif args.task == "wikitext":
         base = [sys.executable, os.path.join(REPO, "examples/wikitext.py")]
@@ -129,6 +137,8 @@ def build_commands(args):
         raise ValueError(f"unknown task {args.task}")
 
     base += ["--model_path", args.model_path or args.model]
+    if args.output_dir:
+        base += ["--output_dir", args.output_dir]
     if args.task != "wikitext":
         base += [
             "--per_device_train_batch_size", str(bs),
@@ -221,6 +231,10 @@ def main():
     parser.add_argument("--model_path", default=None,
                         help="checkpoint dir for the driver")
     parser.add_argument("--squad_json", default=None)
+    parser.add_argument("--data_json", default=None,
+                        help="local JSONL for the GLUE drivers (offline)")
+    parser.add_argument("--output_dir", default=None,
+                        help="checkpoint/output dir passed to the driver")
     parser.add_argument("-bs", "--batch_size", type=int, default=None)
     parser.add_argument("-lr", "--learning_rate", type=float, default=None)
     parser.add_argument("-epochs", "--num_train_epochs", type=int,

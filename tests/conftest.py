@@ -3,7 +3,12 @@ sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Child processes (subprocess-based tests: launchers, sweep drivers,
+# multi-process smoke) must not register the TPU plugin either — its
+# sitecustomize keys on this variable, and a registered-but-unreachable
+# plugin hangs backend init for the whole process.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,9 +20,12 @@ import pytest
 
 import jax
 
-# Some environments register a TPU plugin that ignores JAX_PLATFORMS; pin the
-# default device to CPU explicitly so tests are deterministic and runnable
-# anywhere.  Multi-device tests use jax.devices("cpu") (8 virtual devices).
+# Some environments register a TPU plugin at interpreter startup and set the
+# jax_platforms *config* (which overrides the JAX_PLATFORMS env var) to
+# include it; force it back to cpu so backend init can't block on
+# unreachable hardware.  Multi-device tests use jax.devices("cpu")
+# (8 virtual devices).
+jax.config.update("jax_platforms", "cpu")
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
