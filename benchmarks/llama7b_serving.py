@@ -240,11 +240,11 @@ def matmul_params(variables, model):
             variables.get("storage", {}))[0]:
         keys = [p.key for p in path]
         if keys[-1] == "codes":
-            # affine codes are plane-packed along K: logical = size * per
+            # affine codes are packed int32 words: logical = size * 32/nbits
             per = 1
             fmt = model.qconfig.storage_fmt
             if fmt in ("w4a16", "w2a16"):
-                per = 2 if fmt == "w4a16" else 4
+                per = 8 if fmt == "w4a16" else 16
             n += leaf.size * per
     return n
 

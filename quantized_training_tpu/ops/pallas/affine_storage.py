@@ -11,16 +11,34 @@ quantizer.py group_wise_affine specs, test_codegen.py llm_kivi uses the uint2
 variant for the KV cache).  uint4 streams 4x fewer weight bytes than bf16,
 uint2 8x fewer, so weight-bandwidth-bound GEMMs (decode, small batch) gain up
 to the byte ratio while the dequantized values match the framework's
-``uint{n},qs=group_wise_affine,bs=G,ax=0`` fake-quant bit-for-bit.
+``uint{n},qs=group_wise_affine,bs=G,ax=0`` fake-quant bit-for-bit (the packed
+codes + qparams reproduce it exactly; the kernel's in-VMEM rescale is within
+1-2 bf16 ulp of the dequantized dense matmul).
 
-Layout: *plane-packed along K*.  One packed byte at row ``r`` holds the codes
-for original rows ``r + p*(K/per)`` (p = 0..per-1, per = 8/nbits) in bit
-field p.  Unpacking is therefore constant shifts + masks (no sublane
-interleave, which Mosaic handles poorly), and each plane is a contiguous
-K-range whose matching activation columns are passed as a pre-split
-``(per, M, K/per)`` operand — the kernel issues one MXU dot per plane and
-accumulates.  Groups never straddle planes (``group_size * per`` must divide
-K).
+Layout: *int32 words, consecutive along K*.  Word ``r`` of column ``n`` holds
+the uintN codes of original rows ``r*per + p`` (p = 0..per-1, per =
+32/nbits) in bit field p.  The VPU unpack is therefore constant int32
+shifts + masks on natively-32-bit lanes — no int8 loads and no
+int8->int32 relayouts, which Mosaic lowers as expensive sublane shuffles
+(the previous int8 plane-packed layout measured ~5x slower than its own
+byte bound on chip because of exactly that).  Each bit-field p is a strided
+K-slice whose matching activation columns are pre-split outside the kernel
+into a contiguous ``(per, M, K/per)`` operand; the kernel issues one MXU dot
+per field and accumulates.
+
+The zero-point never touches the per-element path: codes are stored
+*centered* (c' = c - 2^{nbits-1}, sign-extended on unpack by a shift-left /
+arithmetic-shift-right pair), and since
+
+    y = x @ ((c - zp) * sf)  =  x @ (c' * sf)  -  xsum_g @ ((zp - mid) sf)_g
+
+with ``xsum_g[m] = sum_{k in group g} x[m, k]``, the kernel multiplies
+sign-extended codes by the (repeated) scale only — two shifts, convert, mul,
+one bf16 cast per code — and subtracts the per-group correction with one
+extra tiny MXU dot per K step.  Centering keeps ``|c' * sf|`` at the true
+weight magnitude, so the in-kernel bf16 rounding matches the dequantized
+dense matmul's.  Words never straddle groups (``group_size`` must be a
+multiple of ``32/nbits``).
 """
 
 import functools
@@ -52,15 +70,16 @@ def affine_spec(nbits: int, group_size: int) -> QuantizationSpec:
 def pack_affine_weights(
     w: jax.Array, nbits: int = 4, group_size: int = 128
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Offline: (K, N) weights -> plane-packed codes + per-group qparams.
+    """Offline: (K, N) weights -> packed int32 words + per-group qparams.
 
-    Returns ``(packed, sf_planes, zp_planes)``:
+    Returns ``(packed, sf, zp)``:
 
-    - ``packed``: int8, shape (K/per, N), per = 8 // nbits; bit field p of
-      byte (r, n) is the uintN code of ``w[r + p*K/per, n]``.
-    - ``sf_planes`` / ``zp_planes``: float32, shape (per, K/(per*G), N) —
-      the group scale / zero point, split per plane so kernel tiles index
-      them with the same K-grid coordinate as the codes.
+    - ``packed``: int32, shape (K/per, N), per = 32 // nbits; bit field p of
+      word (r, n) is the *centered* code ``c - 2^(nbits-1)`` of
+      ``w[r*per + p, n]``, stored as an nbits-wide two's-complement field.
+    - ``sf`` / ``zp``: float32, shape (K/group_size, N) — the group scale /
+      zero point (group g = original rows [g*G, (g+1)*G), all of which live
+      in whole words because per divides G).
 
     Quantization runs in float32 (like ``pack_mx_weights``): dequantized
     codes reproduce ``fake_quantize(w.astype(float32), affine_spec(...))``
@@ -70,11 +89,12 @@ def pack_affine_weights(
     """
     w = w.astype(jnp.float32)
     K, N = w.shape
-    per = 8 // nbits
-    if K % (per * group_size):
+    per = 32 // nbits
+    if group_size % per or K % group_size:
         raise ValueError(
-            f"K={K} must be a multiple of per*group_size="
-            f"{per * group_size} (groups must not straddle planes)"
+            f"need group_size % (32/nbits)=={per} == 0 and K % group_size "
+            f"== 0 (words must not straddle groups); got K={K}, "
+            f"group_size={group_size}, nbits={nbits}"
         )
     spec = affine_spec(nbits, group_size)
     sf, zp = _group_affine_qparams(w, spec)          # (K/G, N)
@@ -101,52 +121,66 @@ def plane_pack(
     weight, but land in the identical storage layout.
     """
     K, N = codes.shape
-    per = 8 // nbits
+    per = 32 // nbits
+    if group_size % per or K % group_size:
+        raise ValueError(
+            f"need group_size % {per} == 0 and K % group_size == 0; got "
+            f"K={K}, group_size={group_size}, nbits={nbits}"
+        )
     kp = K // per
-    planes = jnp.asarray(codes, jnp.int32).reshape(per, kp, N)
+    mask = (1 << nbits) - 1
+    mid = 1 << (nbits - 1)
+    fields = (jnp.asarray(codes, jnp.int32) - mid) & mask  # centered, 2's-c
+    fields = fields.reshape(kp, per, N)
     packed = jnp.zeros((kp, N), jnp.int32)
     for p in range(per):
-        packed = packed | (planes[p] << (nbits * p))
-    packed = packed.astype(jnp.int8)                  # bit pattern mod 256
-
-    gp = kp // group_size
-    sf_planes = jnp.asarray(sf, jnp.float32).reshape(per, gp, N)
-    zp_planes = jnp.asarray(zp, jnp.float32).reshape(per, gp, N)
-    return packed, sf_planes, zp_planes
+        packed = packed | (fields[:, p] << (nbits * p))
+    return packed, jnp.asarray(sf, jnp.float32), jnp.asarray(zp, jnp.float32)
 
 
-def _dequant_planes(packed, sf_planes, zp_planes, nbits, group_size, per):
-    """Full dequant (fallback path): (K/per, N) packed -> (K, N) f32."""
-    u = packed.astype(jnp.int32) & 0xFF
-    mask = (1 << nbits) - 1
-    ws = []
-    for p in range(per):
-        c = ((u >> (nbits * p)) & mask).astype(jnp.float32)
-        sfe = jnp.repeat(sf_planes[p], group_size, axis=0)
-        zpe = jnp.repeat(zp_planes[p], group_size, axis=0)
-        ws.append((c - zpe) * sfe)
-    return jnp.concatenate(ws, axis=0)
+def _dequant_planes(packed, sf, zp, nbits, group_size):
+    """Full dequant (fallback path): (K/per, N) int32 words -> (K, N) f32.
+
+    Bit-for-bit the ``affine_spec`` fake-quant of the packed weights
+    ((c - zp) * sf per element, f32 qparams).
+    """
+    per = 32 // nbits
+    kp, N = packed.shape
+    mid = 1 << (nbits - 1)
+    cs = [(packed << (32 - nbits * (p + 1))) >> (32 - nbits)
+          for p in range(per)]                       # sign-extended centered
+    c = (jnp.stack(cs, axis=1).reshape(kp * per, N).astype(jnp.float32)
+         + mid)
+    sfe = expand_scale(sf, c.shape, group_size)
+    zpe = expand_scale(zp, c.shape, group_size)
+    return (c - zpe) * sfe
 
 
-def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, nk: int,
-            nbits: int, group_size: int, per: int):
+def _kernel(x_ref, w_ref, s_ref, zs_ref, xs_ref, o_ref, acc_ref, *, nk: int,
+            nbits: int, gwords: int, per: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    u = w_ref[:].astype(jnp.int32) & 0xFF
-    mask = (1 << nbits) - 1
+    u = w_ref[:]                                     # (bk, bn) int32 words
+    sfe = jnp.repeat(s_ref[:], gwords, axis=0)       # (bk, bn) f32
+    acc = acc_ref[:]
     for p in range(per):
-        c = ((u >> (nbits * p)) & mask).astype(jnp.float32)
-        sfe = jnp.repeat(s_ref[p], group_size, axis=0)
-        zpe = jnp.repeat(z_ref[p], group_size, axis=0)
-        w = ((c - zpe) * sfe).astype(jnp.bfloat16)
-        acc_ref[:] += jax.lax.dot_general(
+        c = ((u << (32 - nbits * (p + 1)))
+             >> (32 - nbits)).astype(jnp.float32)    # sign-extended centered
+        w = (c * sfe).astype(jnp.bfloat16)
+        acc += jax.lax.dot_general(
             x_ref[p], w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    # zero-point correction: xsum_g @ (zp*sf)_g for this K step's groups
+    acc -= jax.lax.dot_general(
+        xs_ref[:], zs_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
     def _flush():
@@ -156,8 +190,8 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, nk: int,
 def affine_matmul(
     x: jax.Array,
     packed: jax.Array,
-    sf_planes: jax.Array,
-    zp_planes: jax.Array,
+    sf: jax.Array,
+    zp: jax.Array,
     *,
     nbits: int = 4,
     group_size: int = 128,
@@ -168,19 +202,20 @@ def affine_matmul(
     interpret: Optional[bool] = None,
     force_kernel: bool = False,
 ) -> jax.Array:
-    """y = x @ dequant(packed); packed (K/per, N), qparams (per, K/(per*G), N).
+    """y = x @ dequant(packed); packed (K/per, N) int32, qparams (K/G, N).
 
-    ``block_k`` counts *packed* rows (original-K rows / per).  Blocks default
-    to the VMEM-budget picker; indivisible shapes fall back to an XLA
-    dequant + dot with identical numerics.  Off-TPU the fallback is also the
-    default (the Pallas interpreter is test-only) — ``force_kernel=True``
+    ``block_k`` counts *packed* words (original-K rows / per).  Blocks
+    default to the VMEM-budget picker; indivisible shapes fall back to an
+    XLA dequant + dot with identical numerics.  Off-TPU the fallback is also
+    the default (the Pallas interpreter is test-only) — ``force_kernel=True``
     runs the kernel body under the interpreter anyway, which is how the
-    plane-unpack/rescale math is covered by the CPU test suite.
+    word-unpack/rescale/zp-correction math is covered by the CPU test suite.
     """
     M, K = x.shape
-    per = 8 // nbits
+    per = 32 // nbits
     kp, N = packed.shape
     assert kp * per == K, (packed.shape, x.shape, nbits)
+    gwords = group_size // per            # words per qparam group
     out_dtype = out_dtype or x.dtype
 
     interpret = resolve_interpret(interpret)
@@ -188,10 +223,10 @@ def affine_matmul(
     if block_m is None or block_n is None or block_k is None:
         from .autotune import storage_matmul_blocks
         # x operand is (per, M, kp): per activation planes per K step; the
-        # two f32 qparam tiles add 8*per/G bytes per packed-code byte
+        # f32 scale+zp·sf tiles add 8/(4*gwords) bytes per packed-code byte
         picked = storage_matmul_blocks(
-            M, kp, N, code_bytes=1, scale_block=group_size, x_factor=per,
-            scale_bytes_per_code=8.0 * per / group_size)
+            M, kp, N, code_bytes=4, scale_block=gwords, x_factor=per,
+            scale_bytes_per_code=2.0 / gwords)
         if picked is not None:
             bm, bk, bn = picked
             block_m = block_m or bm
@@ -204,28 +239,34 @@ def affine_matmul(
     block_n = min(block_n, N)
     block_k = min(block_k, kp)
     if (M % block_m or N % block_n or kp % block_k
-            or block_k % group_size or (interpret and not force_kernel)):
-        w = _dequant_planes(packed, sf_planes, zp_planes, nbits, group_size,
-                            per).astype(x.dtype)
+            or block_k % gwords or (interpret and not force_kernel)):
+        w = _dequant_planes(packed, sf, zp, nbits, group_size).astype(x.dtype)
         return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
             out_dtype)
 
-    x_planes = jnp.stack(jnp.split(x, per, axis=1))   # (per, M, K/per)
+    # bit field p of word r is original row r*per + p
+    x_planes = x.reshape(M, kp, per).transpose(2, 0, 1)   # (per, M, kp)
+    # per-group activation row-sums for the zero-point correction, stored
+    # transposed so the (sb, bm) tile is Mosaic-legal (sb on sublanes)
+    xsum_t = (x.astype(jnp.float32)
+               .reshape(M, K // group_size, group_size).sum(-1).T)
+    zs = (zp - (1 << (nbits - 1))) * sf                   # (K/G, N) f32
 
     nk = kp // block_k
     grid = (M // block_m, N // block_n, nk)
     kernel = functools.partial(_kernel, nk=nk, nbits=nbits,
-                               group_size=group_size, per=per)
+                               gwords=gwords, per=per)
 
-    sb = block_k // group_size
+    sb = block_k // gwords
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((per, block_m, block_k), lambda i, j, k: (0, i, k)),
             pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
-            pl.BlockSpec((per, sb, block_n), lambda i, j, k: (0, k, j)),
-            pl.BlockSpec((per, sb, block_n), lambda i, j, k: (0, k, j)),
+            pl.BlockSpec((sb, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((sb, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((sb, block_m), lambda i, j, k: (k, i)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
@@ -234,4 +275,4 @@ def affine_matmul(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=bool(interpret),
-    )(x_planes, packed, sf_planes, zp_planes)
+    )(x_planes, packed, sf, zs, xsum_t)

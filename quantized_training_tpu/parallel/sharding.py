@@ -76,15 +76,13 @@ def shard_rules_llama_storage(fmt: str = "posit8") -> Rules:
     """Megatron TP specs for the packed-weight ``storage`` collection
     (quantize/storage.py): codes shard exactly like the kernels they
     replaced — (in, out) layout, column-parallel output dim / row-parallel
-    input dim; group qparams shard with their codes.  The sub-byte formats'
-    qparams are 3-D (plane, group, out), hence the per-format specs."""
+    input dim; group qparams ((K/G, N) for the scale-carrying formats)
+    shard with their codes."""
     m = MODEL_AXIS
     if fmt == "w8a8":
         # per-output-channel (N,) scales: shard with the output dim on
         # column-parallel layers, replicate on row-parallel (N unsharded)
         col_q, row_q = P(m), P()
-    elif fmt in ("w4a16", "w2a16"):
-        col_q, row_q = P(None, None, m), P(None, m, None)
     else:
         col_q, row_q = P(None, m), P(m, None)
     return (

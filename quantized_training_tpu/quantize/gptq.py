@@ -187,7 +187,6 @@ def build_storage_gptq(params, hessians, fmt: str, group: int = 64,
             "(posit8 storage is exact; mx8 has no zero-point to absorb "
             "error feedback into)")
     nbits = 4 if fmt == "w4a16" else 2
-    per = 8 // nbits
 
     from ..ops.pallas.affine_storage import plane_pack
     from .storage import _eligible, _pack_kernel

@@ -79,8 +79,9 @@ def _eligible(path: Tuple[str, ...], leaf: jax.Array, fmt: str,
     if path[-1] != "kernel" or leaf.ndim != 2:
         return False
     if fmt in ("w4a16", "w2a16"):
-        per = 8 // (4 if fmt == "w4a16" else 2)
-        return leaf.shape[0] % (per * group) == 0
+        # int32 words must not straddle qparam groups
+        per = 32 // (4 if fmt == "w4a16" else 2)
+        return group % per == 0 and leaf.shape[0] % group == 0
     if fmt == "mx8":
         return leaf.shape[0] % group == 0
     return True

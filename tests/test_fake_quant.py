@@ -556,14 +556,14 @@ class TestAffineStorage:
         )
         rng = np.random.default_rng(21)
         for nbits, gs in [(4, 128), (2, 64), (8, 128)]:
-            per = 8 // nbits
-            w = jnp.asarray(rng.standard_normal((per * gs * 2, 64)),
-                            jnp.float32)
+            per = 32 // nbits
+            w = jnp.asarray(rng.standard_normal((gs * 3, 64)), jnp.float32)
             packed, sf, zp = pack_affine_weights(w, nbits, gs)
-            assert packed.dtype == jnp.int8
+            assert packed.dtype == jnp.int32
             assert packed.shape == (w.shape[0] // per, 64)
+            assert sf.shape == (w.shape[0] // gs, 64)
             wq, _ = fake_quantize(w, affine_spec(nbits, gs))
-            deq = _dequant_planes(packed, sf, zp, nbits, gs, per)
+            deq = _dequant_planes(packed, sf, zp, nbits, gs)
             np.testing.assert_array_equal(np.asarray(deq), np.asarray(wq))
 
     def test_matmul_fallback_matches_dequant(self):
@@ -575,17 +575,21 @@ class TestAffineStorage:
         w = jnp.asarray(rng.standard_normal((512, 96)) * 0.2, jnp.bfloat16)
         packed, sf, zp = pack_affine_weights(w, 4, 128)
         out = affine_matmul(x, packed, sf, zp, nbits=4, group_size=128)
-        deq = _dequant_planes(packed, sf, zp, 4, 128, 2).astype(jnp.bfloat16)
+        deq = _dequant_planes(packed, sf, zp, 4, 128).astype(jnp.bfloat16)
         ref = jnp.dot(x, deq, preferred_element_type=jnp.float32).astype(
             jnp.bfloat16)
         np.testing.assert_array_equal(np.asarray(out, np.float32),
                                       np.asarray(ref, np.float32))
 
     def test_kernel_body_matches_fallback_interpret(self):
-        # Runs the actual Pallas kernel (plane unpack, per-group rescale,
-        # multi-plane accumulation) under the interpreter on CPU.
+        # Runs the actual Pallas kernel (signed-word unpack, per-group
+        # rescale, zero-point correction dot, multi-field accumulation)
+        # under the interpreter on CPU.  The kernel rounds c'*sf to bf16
+        # where the fallback rounds (c-zp)*sf — independent 1-ulp roundings
+        # — so the oracle is the exact f32 dequant-dot, with the fallback's
+        # own bf16 error as the yardstick.
         from quantized_training_tpu.ops.pallas.affine_storage import (
-            pack_affine_weights, affine_matmul,
+            pack_affine_weights, affine_matmul, _dequant_planes,
         )
         rng = np.random.default_rng(23)
         for nbits, gs in [(4, 64), (2, 64)]:
@@ -593,15 +597,20 @@ class TestAffineStorage:
             x = jnp.asarray(rng.standard_normal((16, K)), jnp.bfloat16)
             w = jnp.asarray(rng.standard_normal((K, N)) * 0.3, jnp.bfloat16)
             packed, sf, zp = pack_affine_weights(w, nbits, gs)
-            ref = affine_matmul(x, packed, sf, zp, nbits=nbits, group_size=gs)
-            kp = K // (8 // nbits)
-            out = affine_matmul(
+            deq = _dequant_planes(packed, sf, zp, nbits, gs)
+            exact = np.asarray(x, np.float32) @ np.asarray(deq, np.float32)
+            ref = np.asarray(affine_matmul(
+                x, packed, sf, zp, nbits=nbits, group_size=gs,
+                out_dtype=jnp.float32), np.float32)
+            kp = K // (32 // nbits)
+            out = np.asarray(affine_matmul(
                 x, packed, sf, zp, nbits=nbits, group_size=gs,
                 block_m=16, block_n=128, block_k=kp // 2,
-                interpret=True, force_kernel=True)
-            np.testing.assert_allclose(
-                np.asarray(out, np.float32), np.asarray(ref, np.float32),
-                rtol=2e-2, atol=2e-2)
+                out_dtype=jnp.float32,
+                interpret=True, force_kernel=True), np.float32)
+            ref_err = np.abs(ref - exact).max()
+            kern_err = np.abs(out - exact).max()
+            assert kern_err <= 3 * ref_err + 1e-4, (nbits, kern_err, ref_err)
 
     def test_autopicked_blocks_match_fallback(self):
         from quantized_training_tpu.ops.pallas.affine_storage import (
@@ -611,23 +620,32 @@ class TestAffineStorage:
             storage_matmul_blocks,
         )
         # LLaMA MLP shape: 5504 has no mid-size divisor; picker must keep
-        # the kernel path at K/per packed rows.
-        picked = storage_matmul_blocks(16, 2048 // 2, 5504, code_bytes=1,
-                                       scale_block=128)
+        # the kernel path at K/per packed words (per=8, gwords=G/per=16).
+        picked = storage_matmul_blocks(16, 2048 // 8, 5504, code_bytes=4,
+                                       scale_block=16, x_factor=8,
+                                       scale_bytes_per_code=2.0 / 16)
         assert picked is not None
         bm, bk, bn = picked
-        assert (2048 // 2) % bk == 0 and bk % 128 == 0
+        assert (2048 // 8) % bk == 0 and bk % 16 == 0
         rng = np.random.default_rng(24)
+        from quantized_training_tpu.ops.pallas.affine_storage import (
+            _dequant_planes,
+        )
         x = jnp.asarray(rng.standard_normal((16, 2048)), jnp.bfloat16)
         w = jnp.asarray(rng.standard_normal((2048, 5504)) * 0.1, jnp.bfloat16)
         packed, sf, zp = pack_affine_weights(w, 4, 128)
-        ref = affine_matmul(x, packed, sf, zp, nbits=4, group_size=128,
-                            block_k=100)  # indivisible: fallback
-        out = affine_matmul(x, packed, sf, zp, nbits=4, group_size=128,
-                            interpret=True, force_kernel=True)
-        np.testing.assert_allclose(
-            np.asarray(out, np.float32), np.asarray(ref, np.float32),
-            rtol=2e-2, atol=2e-2)
+        deq = _dequant_planes(packed, sf, zp, 4, 128)
+        exact = np.asarray(x, np.float32) @ np.asarray(deq, np.float32)
+        ref = np.asarray(affine_matmul(
+            x, packed, sf, zp, nbits=4, group_size=128,
+            out_dtype=jnp.float32, block_k=100), np.float32)  # fallback
+        out = np.asarray(affine_matmul(
+            x, packed, sf, zp, nbits=4, group_size=128,
+            out_dtype=jnp.float32,
+            interpret=True, force_kernel=True), np.float32)
+        ref_err = np.abs(ref - exact).max()
+        kern_err = np.abs(out - exact).max()
+        assert kern_err <= 3 * ref_err + 1e-4, (kern_err, ref_err)
 
     def test_group_straddling_planes_raises(self):
         from quantized_training_tpu.ops.pallas.affine_storage import (

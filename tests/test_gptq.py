@@ -55,9 +55,8 @@ class TestGptqCore:
         H = hessian_from_inputs(x)
 
         wq_gptq, _, _, _ = gptq_quantize(w, H, nbits, G)
-        per = 8 // nbits
         p, s, z = pack_affine_weights(jnp.asarray(w), nbits, G)
-        wq_rtn = np.asarray(_dequant_planes(p, s, z, nbits, G, per))
+        wq_rtn = np.asarray(_dequant_planes(p, s, z, nbits, G))
 
         e_gptq = _layer_err(x, w, wq_gptq)
         e_rtn = _layer_err(x, w, wq_rtn)
@@ -74,7 +73,7 @@ class TestGptqCore:
         packed, sfp, zpp = plane_pack(codes, sf, zp, nbits, G)
         # the storage kernel's dequant reconstructs exactly wq
         w_back = np.asarray(
-            _dequant_planes(packed, sfp, zpp, nbits, G, 8 // nbits))
+            _dequant_planes(packed, sfp, zpp, nbits, G))
         np.testing.assert_array_equal(w_back, wq)
         # and the full matmul path agrees with x @ wq
         y = affine_matmul(jnp.asarray(x, jnp.float32), packed, sfp, zpp,

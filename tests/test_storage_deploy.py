@@ -87,7 +87,7 @@ class TestBuildStorage:
             )
             nbits = 4 if fmt == "w4a16" else 2
             return _dequant_planes(st["codes"], st["scales"],
-                                   st["zero_points"], nbits, 64, 8 // nbits)
+                                   st["zero_points"], nbits, 64)
 
         def rebuild(slim_node, st_node):
             out = dict(slim_node)
