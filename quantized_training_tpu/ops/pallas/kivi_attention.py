@@ -47,14 +47,21 @@ __all__ = ["kivi_decode_attention"]
 NEG_INF = -2.0 ** 30
 
 
-def _unpack_planar(codes_u8, bits: int):
-    """(Pc, D) packed uint8 -> (P, D) int32 codes, token-planar order."""
+def _unpack_planar(codes, bits: int):
+    """(Pw, D) packed int32 words -> (P, D) int32 *centered* codes,
+    token-planar order (see kv_cache.pack_tokens_planar).  A shift-left /
+    arithmetic-shift-right pair per plane on natively-32-bit lanes — no int8
+    loads and no int8->int32 relayouts (Mosaic lowers those as sublane
+    shuffles that measured ~5x over the byte bound in the old uint8 layout).
+
+    ``bits is None`` means unpacked u/int8 codes: returned as int32 raw
+    (uncentered); the caller's mid constant is 0 there.
+    """
     if bits is None:
-        return codes_u8.astype(jnp.int32)
-    per = 8 // bits
-    c = codes_u8.astype(jnp.int32)
-    mask = (1 << bits) - 1
-    planes = [(c >> (bits * s)) & mask for s in range(per)]
+        return codes.astype(jnp.int32)
+    per = 32 // bits
+    planes = [(codes << (32 - bits * (s + 1))) >> (32 - bits)
+              for s in range(per)]
     return jnp.concatenate(planes, axis=0)
 
 
@@ -74,34 +81,58 @@ def _kernel(
     scale: float, P: int, bits_k: Optional[int], bits_v: Optional[int],
     gP: int, gD: int,
 ):
+    # Compute budget: decode attention is HBM-bound, so per grid step the
+    # whole body must stay under the ~0.3 us byte time of its operands.  The
+    # zero-points therefore NEVER expand to (P, D): with centered codes c'
+    #   k[t] = (c'[t] + mid - kz[g]) * ks[g]
+    #   q.k[t] = q.(c'[t] * ks_exp[t]) + [q.((mid - kz[g]) * ks[g])]_(g(t))
+    # — a scale-only elementwise dequant plus a per-GROUP constant, computed
+    # with (group, gP)-sized matmuls (the old kernel's (P, gP) @ (gP, D) f32
+    # scale/zp expansion matmuls were ~30 MFLOP per grid step, 10-30x the
+    # byte time).  Same factoring on the V side with vz.
     b = pl.program_id(0)
     ml = main_ref[b, 0]
     rl = res_ref[b, 0]
 
-    qf = q_ref[0, 0].astype(jnp.float32) * scale       # (group, D)
+    qf = q_ref[0, 0].astype(jnp.float32) * scale        # (group, D) f32
+    qb = qf.astype(jnp.bfloat16)
     group, D = qf.shape
+    bsP = P // gP                                       # tokens per K group
+    mid_k = (1 << (bits_k - 1)) if bits_k else 0
+    mid_v = (1 << (bits_v - 1)) if bits_v else 0
 
-    # ---- K main: unpack + dequantize in VMEM --------------------------------
-    kc = _unpack_planar(kc_ref[0, 0], bits_k).astype(jnp.float32)
-    ep = _expansion_matrix(P, gP)                       # (P, gP)
-    ks = jax.lax.dot_general(                           # (P, D) expanded scale
-        ep, ks_ref[0, 0].astype(jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    kz = jax.lax.dot_general(
-        ep, kz_ref[0, 0].astype(jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    k = (kc - kz) * ks                                  # (P, D) f32
+    # ---- K main: unpack + scale-only dequant in VMEM ------------------------
+    # bf16 end-to-end: centered codes are small ints (exact in bf16) and the
+    # scales are stored bf16, so convert+mul in bf16 rounds the exact product
+    # once — bit-identical to f32-multiply-then-round, one VPU op cheaper.
+    kcb = _unpack_planar(kc_ref[0, 0], bits_k).astype(jnp.bfloat16)
+    ks = ks_ref[0, 0].astype(jnp.float32)               # (gP, D)
+    kz = kz_ref[0, 0].astype(jnp.float32)
+    # sublane broadcast (free relayout: merging leading dims), not a matmul
+    ksb_exp = jnp.broadcast_to(
+        ks_ref[0, 0].astype(jnp.bfloat16)[:, None, :],
+        (gP, bsP, D)).reshape(P, D)
+    khat = kcb * ksb_exp                                # (P, D) bf16
 
     s_main = jax.lax.dot_general(                       # (group, P)
-        qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        qb, khat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    kconst = jax.lax.dot_general(                       # (group, gP)
+        qf, (mid_k - kz) * ks, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ep = _expansion_matrix(P, gP)                       # (P, gP) 0/1
+    s_main = s_main + jax.lax.dot_general(              # lane-expand consts
+        kconst, ep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (group, P), 1)
     s_main = jnp.where(t_idx < ml, s_main, NEG_INF)
 
     # ---- residual scores ----------------------------------------------------
-    kr = kr_ref[0, 0].astype(jnp.float32)               # (R, D)
+    kr = kr_ref[0, 0]                                   # (R, D) bf16
     R = kr.shape[0]
     s_res = jax.lax.dot_general(
-        qf, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        qb, kr.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (group, R), 1)
     s_res = jnp.where(r_idx < rl, s_res, NEG_INF)
 
@@ -113,25 +144,31 @@ def _kernel(
     l = (jnp.sum(p_main, axis=1, keepdims=True)
          + jnp.sum(p_res, axis=1, keepdims=True))
 
-    # ---- V main: unpack + dequantize ---------------------------------------
+    # ---- V main: unpack + scale-only dequant --------------------------------
     vc = _unpack_planar(vc_ref[0, 0], bits_v).astype(jnp.float32)
-    ed = _expansion_matrix(D, gD)                       # (D, gD)
-    # scales are (P, gD): expand along lanes via (P,gD) @ (gD,D)
-    vs = jax.lax.dot_general(
-        vs_ref[0, 0].astype(jnp.float32), ed,
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    vz = jax.lax.dot_general(
-        vz_ref[0, 0].astype(jnp.float32), ed,
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    v = (vc - vz) * vs                                  # (P, D)
+    vs = vs_ref[0, 0].astype(jnp.float32)               # (P, gD)
+    vz = vz_ref[0, 0].astype(jnp.float32)
+    ed = _expansion_matrix(D, gD)                       # (D, gD) 0/1
+    # lane expansion must cross lanes -> tiny matmul ((P,gD)@(gD,D), ~2 MFLOP)
+    vs_exp = jax.lax.dot_general(
+        vs, ed, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    vhat = (vc * vs_exp).astype(jnp.bfloat16)           # (P, D)
 
-    vr = vr_ref[0, 0].astype(jnp.float32)               # (R, D)
     acc = jax.lax.dot_general(
-        p_main, v, (((1,), (0,)), ((), ())),
+        p_main.astype(jnp.bfloat16), vhat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # vz term: o2[d] = sum_t p[t] ((mid - vz[t,g]) vs[t,g]),  g = g(d)
+    w2 = (mid_v - vz) * vs                              # (P, gD) f32
+    o2 = jax.lax.dot_general(                           # (group, gD)
+        p_main, w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(                    # lane-expand
+        o2, ed, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc = acc + jax.lax.dot_general(
-        p_res, vr, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        p_res.astype(jnp.bfloat16), vr_ref[0, 0].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -152,7 +189,7 @@ def _decode_attention_local(
     directly)."""
     B, H, D = q.shape
     _, KV, Pc, _ = k_codes.shape
-    P = Pc * (8 // bits_k) if bits_k else Pc
+    P = Pc * (32 // bits_k) if bits_k else Pc
     R = k_res.shape[2]
     gP = k_scale.shape[2]
     gD = v_scale.shape[3]
@@ -301,7 +338,8 @@ def kivi_decode_attention(
     """One decode step of attention over the two-tier quantized cache.
 
     q: (B, H, D).  k/v_codes: (B, KV, P*, D) with P* = P (unpacked int8) or
-    P*bits/8 (token-planar packed uint8).  k_scale/k_zp: (B, KV, P/bsK, D);
+    P*bits/32 (token-planar packed int32 words, centered codes).
+    k_scale/k_zp: (B, KV, P/bsK, D);
     v_scale/v_zp: (B, KV, P, D/bsV).  k_res/v_res: (B, KV, R, D) bf16.
     main_len/res_len: (B,) int32 — post-append visibility counts.
     Returns (B, H, D) in q.dtype.

@@ -47,10 +47,11 @@ class KVCacheConfig(NamedTuple):
     (test_codegen.py:536-586): uint2 group_wise_affine, K grouped along
     tokens (ax=-2), V along features (ax=-1), block 32.
 
-    ``pack=True`` stores sub-byte codes bit-packed (8//bits codes per byte)
-    in the token-planar layout (see :func:`pack_tokens_planar`), realizing
-    the 2-4x HBM capacity/bandwidth saving that is the point of a uint2/4
-    cache; the fused decode-attention kernel unpacks planes in VMEM.
+    ``pack=True`` stores sub-byte codes bit-packed (32//bits codes per int32
+    word) in the token-planar layout (see :func:`pack_tokens_planar`),
+    realizing the 2-4x HBM capacity/bandwidth saving that is the point of a
+    uint2/4 cache; the fused decode-attention kernel unpacks planes in VMEM
+    with shift pairs on native 32-bit lanes.
     """
 
     max_prefill: int
@@ -162,7 +163,7 @@ def init_cache(
         bits = cfg._pack_bits(spec)
         if bits is None:
             return shape, _code_dtype(spec)
-        return (batch, kv_heads, P * bits // 8, head_dim), jnp.uint8
+        return (batch, kv_heads, P * bits // 32, head_dim), jnp.int32
 
     if cfg.k_spec is not None:
         k_shape, k_dt = _codes_shape(cfg.k_spec)
@@ -318,38 +319,49 @@ def residual_causal_mask(
 # Token-planar packing: the serving cache layout
 # ---------------------------------------------------------------------------
 #
-# Codes (…, P, D) pack along the *token* axis into (…, P//per, D) uint8 with
-# per = 8//bits: byte[…, t', d] holds the codes of tokens
-# t = s * (P//per) + t' in bit-field s (s = 0..per-1).  This "planar" order
-# keeps the last (lane) dimension at D=128 — full-width DMAs — and unpacking
-# plane s yields the contiguous token block [s*P//per, (s+1)*P//per) so a
-# VMEM unpack is per constant shifts + one sublane concat, no shuffles.
-# (K's 32-token scale groups stay intact because P//per is a multiple of 32
-# for any realistic P.)
+# Codes (…, P, D) pack along the *token* axis into (…, P//per, D) **int32**
+# words with per = 32//bits: word[…, t', d] holds the codes of tokens
+# t = s * (P//per) + t' in bit-field s (s = 0..per-1), each stored *centered*
+# (c - 2^(bits-1)) as an nbits-wide two's-complement field.  This keeps the
+# last (lane) dimension at D=128 — full-width DMAs — and unpacking plane s is
+# a shift-left / arithmetic-shift-right pair on natively-32-bit VPU lanes
+# yielding the contiguous token block [s*P//per, (s+1)*P//per).
+#
+# int32 words rather than uint8 bytes for the same reason the affine weight
+# storage uses them (ops/pallas/affine_storage.py, commit 8684218): Mosaic
+# lowers int8->int32 conversions as sublane-shuffle relayouts that measured
+# ~5x over the byte bound, while int32 loads need no relayout at all.
+# Centered storage makes the unpack sign-extending (shl/asr, no mask) and the
+# decode kernel folds the +2^(bits-1) back into its per-group zero-point
+# constant (ops/pallas/kivi_attention.py).
 
 
 def pack_tokens_planar(codes: jax.Array, bits: int) -> jax.Array:
-    """(…, P, D) int codes -> (…, P//per, D) uint8, token-planar."""
+    """(…, P, D) int codes in [0, 2^bits) -> (…, P//per, D) int32 words,
+    token-planar, fields centered two's-complement."""
     assert bits in (1, 2, 4)
-    per = 8 // bits
+    per = 32 // bits
     *lead, P, D = codes.shape
     assert P % per == 0, (P, per)
-    planes = codes.astype(jnp.uint8).reshape(*lead, per, P // per, D)
-    shifts = (jnp.arange(per, dtype=jnp.uint8) * bits).reshape(
+    mid = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    fields = (codes.astype(jnp.int32) - mid) & mask
+    planes = fields.reshape(*lead, per, P // per, D)
+    shifts = (jnp.arange(per, dtype=jnp.int32) * bits).reshape(
         (1,) * len(lead) + (per, 1, 1))
-    mask = jnp.uint8((1 << bits) - 1)
-    return jnp.sum((planes & mask) << shifts, axis=-3).astype(jnp.uint8)
+    # fields are bit-disjoint, so the sum is the bitwise OR (int32 wraps)
+    return jnp.sum(planes << shifts, axis=-3).astype(jnp.int32)
 
 
 def unpack_tokens_planar(packed: jax.Array, bits: int) -> jax.Array:
     """Inverse of pack_tokens_planar; returns uint8 codes (…, P, D)."""
-    per = 8 // bits
+    per = 32 // bits
     *lead, Pp, D = packed.shape
-    shifts = (jnp.arange(per, dtype=jnp.uint8) * bits).reshape(
+    mid = 1 << (bits - 1)
+    sh_l = ((32 - bits) - jnp.arange(per, dtype=jnp.int32) * bits).reshape(
         (1,) * len(lead) + (per, 1, 1))
-    mask = jnp.uint8((1 << bits) - 1)
-    planes = (packed[..., None, :, :] >> shifts) & mask
-    return planes.reshape(*lead, per * Pp, D)
+    planes = ((packed[..., None, :, :] << sh_l) >> (32 - bits)) + mid
+    return planes.reshape(*lead, per * Pp, D).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

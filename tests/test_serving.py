@@ -92,11 +92,13 @@ class TestPlanarPacking:
             pack_tokens_planar, unpack_tokens_planar,
         )
         rng = np.random.default_rng(5)
-        # head-major layout: token axis is -2, lanes (D) last
+        # head-major layout: token axis is -2, lanes (D) last; P must be a
+        # multiple of 32//bits codes-per-int32-word
         codes = jnp.asarray(
-            rng.integers(0, 2 ** bits, (2, 3, 16, 8)), jnp.uint8)
+            rng.integers(0, 2 ** bits, (2, 3, 64, 8)), jnp.uint8)
         packed = pack_tokens_planar(codes, bits)
-        assert packed.shape == (2, 3, 16 * bits // 8, 8)
+        assert packed.shape == (2, 3, 64 * bits // 32, 8)
+        assert packed.dtype == jnp.int32
         out = unpack_tokens_planar(packed, bits)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
 
@@ -110,7 +112,7 @@ class TestPlanarPacking:
         cfg_p = KVCacheConfig.kivi(max_prefill=32, max_decode=8, pack=True)
         cu = prefill_cache(init_cache(cfg_u, B, KV, D), cfg_u, k, v)
         cp = prefill_cache(init_cache(cfg_p, B, KV, D), cfg_p, k, v)
-        assert cp.k_codes.shape[2] == 32 // 4  # uint2: 4 codes/byte
+        assert cp.k_codes.shape[2] == 32 * 2 // 32  # uint2: 16 codes/word
         ku, vu = cache_kv(cu, cfg_u)
         kp, vp = cache_kv(cp, cfg_p)
         np.testing.assert_array_equal(np.asarray(ku.astype(jnp.float32)),
