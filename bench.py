@@ -75,7 +75,10 @@ def measure(model, variables, ids, iters=8, repeats=5):
     def run(v, ids0, n):
         def body(i, carry):
             ids_i, acc = carry
-            out = model.apply(v, ids_i)
+            # the barrier stops XLA from folding the reduction's vocab slice
+            # into the lm_head matmul (without it, sum(out[..., 0]) lets XLA
+            # compute ONE lm_head column — ~23% of model FLOPs DCE'd)
+            out = jax.lax.optimization_barrier(model.apply(v, ids_i))
             # data dependence between iterations so XLA can't hoist the body
             acc = acc + jnp.sum(out[..., 0])
             ids_i = (ids_i + 1) % vocab

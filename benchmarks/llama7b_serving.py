@@ -152,10 +152,16 @@ def time_prefill(model, variables, ids, repeats=4):
     def run(v, ids0, n):
         def body(i, carry):
             ids_i, acc = carry
-            logits, _ = model.apply(
+            logits, upd = model.apply(
                 v, ids_i, use_cache=True, cache_index=0,
                 prompt_len=jnp.asarray(S, jnp.int32), mutable=["cache"])
-            return (ids_i + 1) % vocab, acc + logits[0, -1, 0]
+            # barrier: forces the full lm_head (a bare logits[0,-1,0] lets
+            # XLA slice the matmul to one column) AND the cache-quantize
+            # writes (upd would otherwise be dead code)
+            logits, upd = jax.lax.optimization_barrier((logits, upd))
+            probe = sum(l.ravel()[0].astype(jnp.float32)
+                        for l in jax.tree_util.tree_leaves(upd))
+            return (ids_i + 1) % vocab, acc + logits[0, -1, 0] + probe
         _, acc = jax.lax.fori_loop(0, n, body, (ids0, jnp.float32(0.0)))
         return acc
 

@@ -55,7 +55,11 @@ def start_watchdog(deadline_s: float):
     return done
 
 
-def build(quantized: bool):
+def build(quantized: bool, error: bool = True):
+    """quantized=False: plain bf16.  quantized=True, error=False: forward
+    fake-quant only (activations+weights).  error=True adds the posit8
+    error (gradient) quantization on the backward — the decomposition knob
+    for the per-component train-step cost table."""
     from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
     from quantized_training_tpu.quantize import QConfig, QuantConfig
 
@@ -73,7 +77,8 @@ def build(quantized: bool):
     if quantized:
         qc = QuantConfig(
             global_qconfig=QConfig.from_strs(
-                activation="posit8_1", weight="posit8_1", error="posit8_1",
+                activation="posit8_1", weight="posit8_1",
+                error="posit8_1" if error else None,
             )
         ).with_fusion(forward="gemm", backward="gemm")
     return LlamaForCausalLM(cfg, qc), cfg
@@ -153,7 +158,10 @@ def flash_kernel_bench(B, H, S, D, repeats=6):
         def run(q, k, v, n):
             def body(i, carry):
                 q, acc = carry
-                dq, dk, dv = g(q, k, v)
+                # barrier: without it the naive arm's dv is dead code and
+                # its dk collapses to the [0,0,0,0] slice — the XLA arm
+                # would skip work the opaque pallas kernels must do
+                dq, dk, dv = jax.lax.optimization_barrier(g(q, k, v))
                 return q + 1e-6 * dq.astype(q.dtype), acc + dk[0, 0, 0, 0]
             _, acc = jax.lax.fori_loop(
                 0, n, body, (q, jnp.float32(0.0)))
@@ -190,17 +198,30 @@ def main():
 
     # --- full train step: quantized (posit8 fwd + posit8 error bwd +
     # adam8bit) vs bf16 + adamw -------------------------------------------
+    # Component decomposition (VERDICT r3 #5): four arms that differ by one
+    # component each, so adjacent deltas isolate (a) forward fake-quant,
+    # (b) backward error-quant, (c) adam8bit-vs-adamw.
     fmodel, cfg = build(quantized=False)
     print("timing bf16 train step...", file=sys.stderr, flush=True)
     t_bf16 = time_train_steps(fmodel, optax.adamw(1e-4), ids)
 
+    fwd_model, _ = build(quantized=True, error=False)
+    print("timing fwd-quant-only train step...", file=sys.stderr, flush=True)
+    t_fwd = time_train_steps(fwd_model, optax.adamw(1e-4), ids)
+
     qmodel, _ = build(quantized=True)
-    print("timing quantized train step...", file=sys.stderr, flush=True)
+    print("timing fwd+err-quant train step...", file=sys.stderr, flush=True)
+    t_fe = time_train_steps(qmodel, optax.adamw(1e-4), ids)
+
+    print("timing quantized train step (adam8bit)...", file=sys.stderr,
+          flush=True)
     t_q = time_train_steps(qmodel, adam8bit(1e-4), ids)
 
     ftok = train_flops_per_token(cfg, seq)
     toks = batch * seq
-    for name, t in (("bf16", t_bf16), ("posit8_adam8bit", t_q)):
+    for name, t in (("bf16", t_bf16), ("posit8_fwd_adamw", t_fwd),
+                    ("posit8_fwderr_adamw", t_fe),
+                    ("posit8_adam8bit", t_q)):
         tflops = toks * ftok / t / 1e12
         print(json.dumps({
             "metric": f"train_step_{name}_ms",
@@ -213,6 +234,11 @@ def main():
         "metric": "train_step_quantized_vs_bf16",
         "value": round(t_bf16 / t_q, 4), "unit": "x",
         "note": "ratio >1 means the quantized train step is faster",
+        "component_ms": {
+            "fwd_fake_quant": round((t_fwd - t_bf16) * 1e3, 2),
+            "bwd_error_quant": round((t_fe - t_fwd) * 1e3, 2),
+            "adam8bit_delta": round((t_q - t_fe) * 1e3, 2),
+        },
     }), flush=True)
 
     # --- isolated flash fwd+bwd kernel vs XLA naive -----------------------
