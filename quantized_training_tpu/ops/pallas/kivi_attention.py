@@ -117,12 +117,23 @@ def _kernel(
     s_main = jax.lax.dot_general(                       # (group, P)
         qb, khat, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    # All correction/expansion dots run with bf16 operands (f32 accumulate):
+    # Mosaic lowers an f32 x f32 MXU dot as multiple bf16 passes.  On-chip
+    # ablation (r4) measured the kernel critical-path-bound at ~1.7 us per
+    # grid step (bytes: 0.34 us): dropping the correction dot groups saved
+    # 32-57 us/layer each, but neither bf16-ifying them nor hoisting,
+    # merging, or pairing grid steps recovered that serial-chain time —
+    # the bf16 forms are kept as the cheaper encoding (fewer MXU passes),
+    # measured time-neutral at 7B geometry (~430 us/layer).  The constants
+    # being rounded to bf16 perturbs scores ~1e-3 relative — well inside
+    # the cache quantization error itself.
     kconst = jax.lax.dot_general(                       # (group, gP)
-        qf, (mid_k - kz) * ks, (((1,), (1,)), ((), ())),
+        qb, ((mid_k - kz) * ks).astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ep = _expansion_matrix(P, gP)                       # (P, gP) 0/1
+    ep = _expansion_matrix(P, gP).astype(jnp.bfloat16)  # (P, gP) 0/1
     s_main = s_main + jax.lax.dot_general(              # lane-expand consts
-        kconst, ep, (((1,), (1,)), ((), ())),
+        kconst.astype(jnp.bfloat16), ep, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (group, P), 1)
     s_main = jnp.where(t_idx < ml, s_main, NEG_INF)
@@ -145,26 +156,29 @@ def _kernel(
          + jnp.sum(p_res, axis=1, keepdims=True))
 
     # ---- V main: unpack + scale-only dequant --------------------------------
-    vc = _unpack_planar(vc_ref[0, 0], bits_v).astype(jnp.float32)
+    vcb = _unpack_planar(vc_ref[0, 0], bits_v).astype(jnp.bfloat16)
     vs = vs_ref[0, 0].astype(jnp.float32)               # (P, gD)
     vz = vz_ref[0, 0].astype(jnp.float32)
-    ed = _expansion_matrix(D, gD)                       # (D, gD) 0/1
-    # lane expansion must cross lanes -> tiny matmul ((P,gD)@(gD,D), ~2 MFLOP)
+    edb = _expansion_matrix(D, gD).astype(jnp.bfloat16)  # (D, gD) 0/1
+    # lane expansion must cross lanes -> tiny matmul ((P,gD)@(gD,D), ~2 MFLOP);
+    # bf16 operands (expansion merely selects, so bf16 scales pass through
+    # unrounded beyond their stored bf16 value)
     vs_exp = jax.lax.dot_general(
-        vs, ed, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    vhat = (vc * vs_exp).astype(jnp.bfloat16)           # (P, D)
+        vs_ref[0, 0].astype(jnp.bfloat16), edb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    vhat = vcb * vs_exp                                 # (P, D) bf16
 
+    pb = p_main.astype(jnp.bfloat16)
     acc = jax.lax.dot_general(
-        p_main.astype(jnp.bfloat16), vhat, (((1,), (0,)), ((), ())),
+        pb, vhat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     # vz term: o2[d] = sum_t p[t] ((mid - vz[t,g]) vs[t,g]),  g = g(d)
-    w2 = (mid_v - vz) * vs                              # (P, gD) f32
+    w2 = ((mid_v - vz) * vs).astype(jnp.bfloat16)       # (P, gD)
     o2 = jax.lax.dot_general(                           # (group, gD)
-        p_main, w2, (((1,), (0,)), ((), ())),
+        pb, w2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc = acc + jax.lax.dot_general(                    # lane-expand
-        o2, ed, (((1,), (1,)), ((), ())),
+        o2.astype(jnp.bfloat16), edb, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc = acc + jax.lax.dot_general(
         p_res.astype(jnp.bfloat16), vr_ref[0, 0].astype(jnp.bfloat16),
