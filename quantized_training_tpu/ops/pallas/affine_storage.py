@@ -156,6 +156,73 @@ def _dequant_planes(packed, sf, zp, nbits, group_size):
     return (c - zpe) * sfe
 
 
+def _dequant_kernel(w_ref, s_ref, z_ref, o_ref, *, nbits: int, gwords: int,
+                    per: int, bk: int):
+    """Streaming dequant: (bk, bn) int32 words -> (per*bk, bn) bf16,
+    PLANE-MAJOR row order (plane p occupies sublanes [p*bk, (p+1)*bk)) —
+    each plane lands as one contiguous sublane range, so the kernel is pure
+    stream: unpack-shift pair, add (mid - zp), scale, one contiguous store.
+    Values are bit-identical to :func:`_dequant_planes` (same f32 math,
+    same single bf16 rounding)."""
+    u = w_ref[:]
+    sfe = jnp.repeat(s_ref[:], gwords, axis=0).astype(jnp.float32)
+    zpe = jnp.repeat(z_ref[:], gwords, axis=0).astype(jnp.float32)
+    mid = 1 << (nbits - 1)
+    for p in range(per):
+        c = ((u << (32 - nbits * (p + 1)))
+             >> (32 - nbits)).astype(jnp.float32) + mid
+        o_ref[p * bk:(p + 1) * bk, :] = ((c - zpe) * sfe).astype(o_ref.dtype)
+
+
+def dequant_planes_tpu(packed, sf, zp, nbits, group_size, *,
+                       out_dtype=jnp.bfloat16, interpret=False):
+    """Pallas dequant of the packed layout -> (K, N) bf16 in PLANE-MAJOR row
+    order: output row ``p * (K/per) + r`` is original row ``r * per + p``.
+    A matching activation permutation (``x.reshape(M, kp, per)``
+    ``.transpose(0, 2, 1).reshape(M, K)``) makes ``x_pm @ w_pm`` equal the
+    original product up to f32 summation order.
+
+    Exists for the fallback shapes the block picker rejects (e.g. LLaMA's
+    down-projection K=11008 = 2^8 * 43: no block_k is both a multiple of
+    8*gwords and a proper divisor of K/per, so the in-kernel-dequant matmul
+    cannot tile it): the XLA unpack in ``_dequant_planes`` measured 2.9x
+    slower than this stream at (2048, 11008, 4096) on chip (0.32 vs ~0.85
+    MFU end-to-end)."""
+    kp, N = packed.shape
+    per = 32 // nbits
+    gwords = group_size // per
+    sg = kp // gwords
+    # N blocks only (full-K stripes): output stripe is (K, bn)
+    bn = N
+    budget = 12 * 1024 * 1024
+    while bn > 128 and (kp * bn * 4 + per * kp * bn * 2) * 2 > budget:
+        bn //= 2
+    while N % bn:
+        bn //= 2
+    grid = (N // bn,)
+    kernel = functools.partial(_dequant_kernel, nbits=nbits, gwords=gwords,
+                               per=per, bk=kp)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kp, bn), lambda j: (0, j)),
+            pl.BlockSpec((sg, bn), lambda j: (0, j)),
+            pl.BlockSpec((sg, bn), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((per * kp, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((per * kp, N), out_dtype),
+        interpret=bool(interpret),
+    )(packed, sf, zp)
+
+
+def _plane_major_x(x, kp, per):
+    """Permute activation columns to match ``dequant_planes_tpu``'s row
+    order (column p*kp + r multiplies original row r*per + p)."""
+    M = x.shape[0]
+    return x.reshape(M, kp, per).transpose(0, 2, 1).reshape(M, kp * per)
+
+
 def _kernel(x_ref, w_ref, s_ref, zs_ref, xs_ref, o_ref, acc_ref, *, nk: int,
             nbits: int, gwords: int, per: int):
     k = pl.program_id(2)
@@ -240,6 +307,18 @@ def affine_matmul(
     block_k = min(block_k, kp)
     if (M % block_m or N % block_n or kp % block_k
             or block_k % gwords or (interpret and not force_kernel)):
+        if not interpret:
+            # On TPU, the fallback's dequant runs as a Pallas stream into a
+            # plane-major bf16 weight + a dense MXU dot on plane-major-
+            # permuted activations (same products, permuted f32 summation
+            # order).  The pure-XLA unpack below measured 2.9x slower on
+            # chip at the shapes that land here (see dequant_planes_tpu).
+            w_pm = dequant_planes_tpu(packed, sf, zp, nbits, group_size,
+                                      out_dtype=x.dtype)
+            x_pm = _plane_major_x(x, kp, per)
+            return jnp.dot(x_pm, w_pm,
+                           preferred_element_type=jnp.float32).astype(
+                out_dtype)
         w = _dequant_planes(packed, sf, zp, nbits, group_size).astype(x.dtype)
         return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
             out_dtype)
