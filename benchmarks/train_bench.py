@@ -96,7 +96,12 @@ def time_train_steps(model, tx, ids, repeats=4):
 
     vocab = model.config.vocab_size
 
-    @partial(jax.jit, static_argnames="n")
+    # the state is DONATED: without donation XLA keeps distinct input and
+    # output buffers for the 6.4 GB f32 state across the jit boundary, and
+    # the fwd+err-quant arm's graph then demands 17.09 G on a 15.75 G chip
+    # (observed three times).  Donation means each call consumes its state,
+    # so every caller rebinds ``state = run(...)``'s output.
+    @partial(jax.jit, static_argnames="n", donate_argnums=(0,))
     def run(state, ids0, n):
         def body(i, carry):
             state, ids_i = carry
@@ -104,20 +109,29 @@ def time_train_steps(model, tx, ids, repeats=4):
             state, _ = step(state, {"input_ids": ids_i})
             return state, (ids_i + 1) % vocab
         state, _ = jax.lax.fori_loop(0, n, body, (state, ids0))
-        return state.step, jax.tree_util.tree_leaves(state.params)[0].ravel()[0]
+        return state, jax.tree_util.tree_leaves(state.params)[0].ravel()[0]
 
     def timed(n, reps):
+        nonlocal state
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            s, p = run(state, ids, n)
+            state, p = run(state, ids, n)
             float(p)  # scalar fetch forces completion
             best = min(best, time.perf_counter() - t0)
         return best
 
-    float(run(state, ids, N1)[1])  # compile
-    float(run(state, ids, N2)[1])  # compile
-    return (timed(N2, repeats) - timed(N1, 2 * repeats)) / (N2 - N1)
+    state, p = run(state, ids, N1); float(p)  # compile
+    state, p = run(state, ids, N2); float(p)  # compile
+    dt = (timed(N2, repeats) - timed(N1, 2 * repeats)) / (N2 - N1)
+    # four arms run back-to-back: each holds ~4 GB of f32 state + adamw
+    # moments plus its executables — without freeing, arm 3 OOMs at 17.09 G
+    # on the 15.75 G chip (observed twice)
+    import gc
+    del state, variables, step, run
+    gc.collect()
+    jax.clear_caches()
+    return dt
 
 
 def train_flops_per_token(cfg, S):
