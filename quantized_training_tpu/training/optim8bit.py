@@ -48,6 +48,16 @@ def _pad_len(n: int, block: int) -> int:
     return (block - n % block) % block
 
 
+def _use_fused(block_size: int) -> bool:
+    """Route large-leaf updates through the fused Pallas kernel on a real
+    TPU (the kernel is specialized for block 256; CPU keeps the XLA path —
+    the interpret-mode test asserts the two are bit-identical)."""
+    if block_size != 256:
+        return False
+    from ..ops.pallas.common import resolve_interpret
+    return not resolve_interpret(None)
+
+
 def _quantize_signed(x: jax.Array, block: int):
     """Flattened blockwise-linear signed int8: (codes, scales, orig_shape)."""
     flat = x.reshape(-1)
@@ -157,6 +167,22 @@ def scale_by_adam8bit(
                 v = b2 * nu8.codes + (1.0 - b2) * g * g
                 upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
                 return upd, _Moment8(m, mu8.scale), _Moment8(v, nu8.scale)
+            if _use_fused(block_size):
+                # Fused Pallas moment update (ops/pallas/adam8bit_step.py):
+                # one VMEM pass instead of XLA's re-materialized blocked
+                # views (which measured ~122 GB/s vs a ~638 GB/s stream and
+                # made adam8bit the largest quantized-training cost,
+                # +23.3 ms/step — BENCH_TRAIN_r04.json).  Same f32 math,
+                # same rounding points as the path below.
+                from ..ops.pallas.adam8bit_step import fused_adam8bit_update
+                flat = g.reshape(-1)
+                pad = _pad_len(flat.size, block_size)
+                g2d = jnp.pad(flat, (0, pad)).reshape(-1, block_size)
+                upd2d, mc, ms, vc, vs = fused_adam8bit_update(
+                    g2d, mu8.codes, mu8.scale, nu8.codes, nu8.scale,
+                    bc1, bc2, b1=b1, b2=b2, eps=eps)
+                upd = upd2d.reshape(-1)[:flat.size].reshape(g.shape)
+                return upd, _Moment8(mc, ms), _Moment8(vc, vs)
             m = b1 * _dequantize_signed(mu8.codes, mu8.scale, g.shape) \
                 + (1.0 - b1) * g
             v = b2 * _dequantize_sqrt(nu8.codes, nu8.scale, g.shape) \

@@ -163,3 +163,57 @@ class TestAdam8bit:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestFusedPallasStep:
+    """The fused TPU moment-update kernel (ops/pallas/adam8bit_step.py)
+    must match the XLA path to within compiler fma-contraction ulps — the
+    same f32 formulas, but XLA and Mosaic may contract a*b+c differently,
+    so block scales can wobble 1 ulp and codes by at most 1 step (it
+    replaces a +23.3 ms/step XLA lowering, BENCH_TRAIN_r04.json)."""
+
+    def test_fused_kernel_bit_equals_xla_path(self):
+        from quantized_training_tpu.ops.pallas.adam8bit_step import (
+            fused_adam8bit_update,
+        )
+        from quantized_training_tpu.training.optim8bit import _pad_len
+
+        rng = np.random.default_rng(7)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        for n, t in ((8192, 1), (4096 * 3 + 100, 5)):
+            g = jnp.asarray(rng.standard_normal(n), jnp.float32) * 0.02
+            pad = _pad_len(n, 256)
+            nb = (n + pad) // 256
+            mc = jnp.asarray(
+                rng.integers(-127, 128, (nb, 256)), jnp.int8)
+            ms = jnp.asarray(rng.random(nb) * 1e-3 + 1e-6, jnp.float32)
+            vc = jnp.asarray(rng.integers(0, 256, (nb, 256)), jnp.uint8)
+            vs = jnp.asarray(rng.random(nb) * 1e-3 + 1e-6, jnp.float32)
+            bc1 = jnp.float32(1.0 - b1 ** t)
+            bc2 = jnp.float32(1.0 - b2 ** t)
+
+            # XLA reference (the optim8bit non-fused path, inlined)
+            m = (b1 * _dequantize_signed(mc, ms, (n + pad,))
+                 + (1.0 - b1) * jnp.pad(g, (0, pad)))
+            v = (b2 * _dequantize_sqrt(vc, vs, (n + pad,))
+                 + (1.0 - b2) * jnp.pad(g, (0, pad)) ** 2)
+            upd_ref = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            mc_ref, ms_ref = _quantize_signed(m, 256)
+            vc_ref, vs_ref = _quantize_sqrt(v, 256)
+
+            g2d = jnp.pad(g, (0, pad)).reshape(nb, 256)
+            upd, mc2, ms2, vc2, vs2 = fused_adam8bit_update(
+                g2d, mc, ms, vc, vs, bc1, bc2, b1=b1, b2=b2, eps=eps,
+                interpret=True)
+
+            assert np.max(np.abs(np.asarray(mc2, np.int32)
+                                  - np.asarray(mc_ref, np.int32))) <= 1
+            assert np.max(np.abs(np.asarray(vc2, np.int32)
+                                  - np.asarray(vc_ref, np.int32))) <= 1
+            np.testing.assert_allclose(np.asarray(ms2), np.asarray(ms_ref),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(vs2), np.asarray(vs_ref),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(upd.reshape(-1)), np.asarray(upd_ref),
+                rtol=1e-5, atol=1e-6)
