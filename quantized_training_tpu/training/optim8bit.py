@@ -128,16 +128,32 @@ def scale_by_adam8bit(
     def small(p) -> bool:
         return p.size < min_8bit_size
 
+    def packed(p) -> bool:
+        """int32-word-packed state (TPU fused kernel layout): block 256 and
+        a row count divisible by the kernel's 512-row tile — true for every
+        matmul kernel; odd-sized large leaves keep unpacked int8 state."""
+        if block_size != 256:
+            return False
+        from ..ops.pallas.adam8bit_step import packable_rows
+        nb = (p.size + _pad_len(p.size, block_size)) // block_size
+        return packable_rows(nb)
+
     def init(params):
         # small leaves keep exact f32 moments in the ``codes`` slot; the
         # scale is a (1,) placeholder (checkpointers reject 0-size arrays)
-        # and the f32 code dtype is the discriminator.
+        # and the code dtype is the discriminator (f32 exact / int32
+        # packed words / int8 unpacked).
         def init_mu(p):
             if small(p):
                 return _Moment8(jnp.zeros_like(p, jnp.float32),
                                 jnp.zeros((1,), jnp.float32))
             codes, scale = _quantize_signed(jnp.zeros_like(p, jnp.float32),
                                             block_size)
+            if packed(p):
+                from ..ops.pallas.adam8bit_step import (
+                    pack_moment_rows, pack_scale_rows)
+                return _Moment8(pack_moment_rows(codes),
+                                pack_scale_rows(scale))
             return _Moment8(codes, scale)
 
         def init_nu(p):
@@ -146,6 +162,11 @@ def scale_by_adam8bit(
                                 jnp.zeros((1,), jnp.float32))
             codes, scale = _quantize_sqrt(jnp.zeros_like(p, jnp.float32),
                                           block_size)
+            if packed(p):
+                from ..ops.pallas.adam8bit_step import (
+                    pack_moment_rows, pack_scale_rows)
+                return _Moment8(pack_moment_rows(codes),
+                                pack_scale_rows(scale))
             return _Moment8(codes, scale)
 
         return ScaleByAdam8bitState(
@@ -160,6 +181,46 @@ def scale_by_adam8bit(
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
 
+        def _one_packed(g, mu8, nu8):
+            """int32-word-packed leaf (see ops/pallas/adam8bit_step.py):
+            fused single-pass kernel on TPU; XLA unpack -> update -> repack
+            (same formulas) on every other backend."""
+            from ..ops.pallas.adam8bit_step import (
+                fused_adam8bit_update_packed, pack_moment_rows,
+                pack_scale_rows, unpack_moment_rows, unpack_scale_rows)
+            from ..ops.pallas.common import resolve_interpret
+            flat = g.reshape(-1)
+            pad = _pad_len(flat.size, block_size)
+            if pad:
+                g2d = jnp.pad(flat, (0, pad)).reshape(-1, block_size)
+            else:
+                g2d = flat.reshape(-1, block_size)
+            if not resolve_interpret(None):       # real TPU
+                upd2d, mw, ms, vw, vs = fused_adam8bit_update_packed(
+                    g2d, mu8.codes, mu8.scale, nu8.codes, nu8.scale,
+                    bc1, bc2, b1=b1, b2=b2, eps=eps)
+            else:
+                mc = unpack_moment_rows(mu8.codes, signed=True)
+                vc = unpack_moment_rows(nu8.codes, signed=False)
+                msf = unpack_scale_rows(mu8.scale)
+                vsf = unpack_scale_rows(nu8.scale)
+                m = (b1 * (mc.astype(jnp.float32)
+                           * msf[:, None]) + (1.0 - b1) * g2d)
+                root = vc.astype(jnp.float32) * vsf[:, None]
+                v = b2 * (root * root) + (1.0 - b2) * (g2d * g2d)
+                upd2d = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+                mcq, ms = _quantize_signed(m, block_size)
+                vcq, vs = _quantize_sqrt(v, block_size)
+                mw = pack_moment_rows(mcq)
+                vw = pack_moment_rows(vcq)
+                ms = pack_scale_rows(ms)
+                vs = pack_scale_rows(vs)
+            if pad:
+                upd = upd2d.reshape(-1)[:flat.size].reshape(g.shape)
+            else:
+                upd = upd2d.reshape(g.shape)
+            return upd, _Moment8(mw, ms), _Moment8(vw, vs)
+
         def one(g, mu8, nu8):
             g = g.astype(jnp.float32)
             if mu8.codes.dtype == jnp.float32:    # exact small-leaf path
@@ -167,6 +228,8 @@ def scale_by_adam8bit(
                 v = b2 * nu8.codes + (1.0 - b2) * g * g
                 upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
                 return upd, _Moment8(m, mu8.scale), _Moment8(v, nu8.scale)
+            if mu8.codes.dtype == jnp.int32:      # int32-word-packed leaf
+                return _one_packed(g, mu8, nu8)
             if _use_fused(block_size):
                 # Fused Pallas moment update (ops/pallas/adam8bit_step.py):
                 # one VMEM pass instead of XLA's re-materialized blocked
@@ -177,11 +240,20 @@ def scale_by_adam8bit(
                 from ..ops.pallas.adam8bit_step import fused_adam8bit_update
                 flat = g.reshape(-1)
                 pad = _pad_len(flat.size, block_size)
-                g2d = jnp.pad(flat, (0, pad)).reshape(-1, block_size)
+                if pad:
+                    # pad + slice-back each copy the full gradient (~5 ms
+                    # at 536M params); leaves that divide the block — all
+                    # matmul kernels — take the free-reshape path
+                    g2d = jnp.pad(flat, (0, pad)).reshape(-1, block_size)
+                else:
+                    g2d = flat.reshape(-1, block_size)
                 upd2d, mc, ms, vc, vs = fused_adam8bit_update(
                     g2d, mu8.codes, mu8.scale, nu8.codes, nu8.scale,
                     bc1, bc2, b1=b1, b2=b2, eps=eps)
-                upd = upd2d.reshape(-1)[:flat.size].reshape(g.shape)
+                if pad:
+                    upd = upd2d.reshape(-1)[:flat.size].reshape(g.shape)
+                else:
+                    upd = upd2d.reshape(g.shape)
                 return upd, _Moment8(mc, ms), _Moment8(vc, vs)
             m = b1 * _dequantize_signed(mu8.codes, mu8.scale, g.shape) \
                 + (1.0 - b1) * g
