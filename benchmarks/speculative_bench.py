@@ -64,15 +64,22 @@ def build_draft():
 
 
 def timed(fn, repeats=3):
-    out = fn()                      # compile + warm
-    jax.block_until_ready(out)
+    """fn must be a PRE-JITTED callable of no arguments: generate() and
+    speculative_generate() trace their loops per call, so timing the bare
+    functions measures retracing (observed: 3.9 s/token 'decode').  A
+    scalar fetch is the completion barrier (block_until_ready is lazy on
+    this tunneled backend)."""
+    def fetch(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return float(jnp.asarray(leaves[0]).ravel()[0])
+
+    fetch(fn())                     # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        fetch(fn())
         best = min(best, time.perf_counter() - t0)
-    return best, out
+    return best, fn()
 
 
 def main():
@@ -98,8 +105,9 @@ def main():
 
     # ---- baseline: plain greedy decode -----------------------------------
     print("[spec] timing plain decode...", file=sys.stderr, flush=True)
-    t_plain, _ = timed(lambda: generate(
-        target, tvars, ids, max_new_tokens=NEW))
+    gen_plain = jax.jit(lambda v, i: generate(target, v, i,
+                                              max_new_tokens=NEW))
+    t_plain, _ = timed(lambda: gen_plain(tvars, ids))
     plain_tps = NEW / t_plain
     print(json.dumps({
         "metric": "spec7b_plain_decode_tokens_per_s",
@@ -109,8 +117,9 @@ def main():
 
     # ---- spec with the real (random-weight) draft ------------------------
     print("[spec] timing spec_draft...", file=sys.stderr, flush=True)
-    t_draft, (out, stats) = timed(lambda: speculative_generate(
-        target, tvars, draft, dvars, ids, NEW, k=K, return_stats=True))
+    gen_spec = jax.jit(lambda tv, dv, i: speculative_generate(
+        target, tv, draft, dv, i, NEW, k=K, return_stats=True))
+    t_draft, (out, stats) = timed(lambda: gen_spec(tvars, dvars, ids))
     print(json.dumps({
         "metric": "spec7b_draft_tokens_per_s",
         "value": round(NEW / t_draft, 2), "unit": "tokens/s",
@@ -128,10 +137,12 @@ def main():
     # weights); instead self-spec the small stack — machinery ceiling is a
     # property of the round structure, measured here at the draft geometry,
     # and the 7B-round cost is already visible in spec_draft's round time.
-    t_self, (out2, stats2) = timed(lambda: speculative_generate(
-        draft, dvars, draft, dvars, ids, NEW, k=K, return_stats=True))
-    t_plain_small, _ = timed(lambda: generate(
-        draft, dvars, ids, max_new_tokens=NEW))
+    gen_self = jax.jit(lambda dv, i: speculative_generate(
+        draft, dv, draft, dv, i, NEW, k=K, return_stats=True))
+    t_self, (out2, stats2) = timed(lambda: gen_self(dvars, ids))
+    gen_small = jax.jit(lambda dv, i: generate(draft, dv, i,
+                                               max_new_tokens=NEW))
+    t_plain_small, _ = timed(lambda: gen_small(dvars, ids))
     print(json.dumps({
         "metric": "spec_small_self_tokens_per_s",
         "value": round(NEW / t_self, 2), "unit": "tokens/s",

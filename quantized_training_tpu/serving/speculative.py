@@ -266,8 +266,13 @@ def speculative_generate(
         gen = jnp.where(keep, gen, eos_token_id)
         full = jnp.concatenate([full[:, :S], gen], axis=1)
     if return_stats:
-        r = int(rounds)
-        stats = {"rounds": r,
-                 "accept_rate": float(accepted) / max(r * k, 1)}
+        # JAX scalars, not Python numbers: keeps speculative_generate
+        # traceable under an outer jit (the wall-clock bench times it that
+        # way — per-call retracing measured 3.9 s/token).  ``int()`` /
+        # ``float()`` still work on these outside a trace.
+        rj = jnp.asarray(rounds, jnp.int32)
+        stats = {"rounds": rj,
+                 "accept_rate": (jnp.asarray(accepted, jnp.float32)
+                                 / jnp.maximum(rj * k, 1))}
         return full, stats
     return full
