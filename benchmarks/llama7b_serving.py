@@ -255,6 +255,26 @@ def matmul_params(variables, model):
     return n
 
 
+def check_integer_dot(model, variables, batch):
+    """Prove the w8a8 path lowers to a native s8 x s8 -> s32 dot in the
+    DEVICE HLO (VERDICT r3 item #4: 'integer dot in the device HLO'), not
+    an fp dequant-then-dot."""
+    import re
+    tok = jnp.zeros((batch, 1), jnp.int32)
+    lowered = jax.jit(
+        lambda v, t: model.apply(
+            v, t, use_cache=False)).lower(variables, tok)
+    txt = lowered.compile().as_text()
+    hits = re.findall(r"dot\([^)]*s8\[", txt) or re.findall(
+        r"s32\[[^\]]*\][^\n]*dot", txt)
+    ok = bool(re.search(r"s8\[", txt)) and bool(hits)
+    print(json.dumps({
+        "metric": "llama7b_w8a8_integer_dot_in_device_hlo",
+        "value": int(ok), "unit": "bool",
+        "s8_dot_sites": len(hits),
+    }), flush=True)
+
+
 def run_geometry(geom, fmt, *, batch, max_prefill, max_decode, kivi_bits,
                  label):
     model, cfg = build(geom, fmt, batch=batch, max_prefill=max_prefill,
@@ -264,6 +284,9 @@ def run_geometry(geom, fmt, *, batch, max_prefill, max_decode, kivi_bits,
     wbytes = tree_bytes(variables)
     print(f"[{label}] weights on device: {wbytes/2**30:.2f} GiB",
           file=sys.stderr, flush=True)
+
+    if fmt == "w8a8":
+        check_integer_dot(model, variables, batch)
 
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, max_prefill)))
@@ -325,50 +348,68 @@ def run_geometry(geom, fmt, *, batch, max_prefill, max_decode, kivi_bits,
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     done = start_watchdog(float(os.environ.get("QT_BENCH_WATCHDOG_S", "3000")))
+    # partial re-runs: QT_BENCH_ARMS is a comma list of w4,bf16,w8a8,13b
+    arms = set(os.environ.get("QT_BENCH_ARMS", "w4,bf16,w8a8,13b").split(","))
 
     # flagship: 7B w4a16 + packed uint2 KIVI + fused decode + scan decode
-    r_w4 = run_geometry("7b", "w4a16", batch=8, max_prefill=2048,
-                        max_decode=128, kivi_bits=2, label="llama7b_w4a16")
+    r_w4 = None
+    if "w4" in arms:
+        r_w4 = run_geometry("7b", "w4a16", batch=8, max_prefill=2048,
+                            max_decode=128, kivi_bits=2,
+                            label="llama7b_w4a16")
 
     # bf16-weights baseline at the same geometry: 12.6 GiB of weights +
     # 2 GiB cache — expected NOT to fit on one 16 GB v5e. If it OOMs, that
     # IS the result (w4a16 is what makes 7B single-chip); the speed
     # comparison then falls back to the HBM roofline bound for bf16 bytes.
-    try:
-        r_bf16 = run_geometry("7b", None, batch=8, max_prefill=2048,
-                              max_decode=128, kivi_bits=2,
-                              label="llama7b_bf16")
-        vs = r_bf16["decode_ms"] / r_w4["decode_ms"]
-        note = "measured bf16 baseline"
-        bf16_ms = r_bf16["decode_ms"]
-    except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED expected
-        msg = str(e).splitlines()[0][:160]
+    if "bf16" in arms and r_w4 is not None:
+        try:
+            r_bf16 = run_geometry("7b", None, batch=8, max_prefill=2048,
+                                  max_decode=128, kivi_bits=2,
+                                  label="llama7b_bf16")
+            vs = r_bf16["decode_ms"] / r_w4["decode_ms"]
+            note = "measured bf16 baseline"
+            bf16_ms = r_bf16["decode_ms"]
+        except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED expected
+            msg = str(e).splitlines()[0][:160]
+            print(json.dumps({
+                "metric": "llama7b_bf16_weights_fit",
+                "value": 0, "unit": "bool",
+                "note": f"bf16 7B does not fit on one v5e: {msg}",
+            }), flush=True)
+            # roofline-bound bf16 decode: same cache + norm reads, but the
+            # GEMM weights stream as dense bf16 (2 bytes per logical
+            # weight).  This FAVORS the baseline — it assumes a perfect
+            # bf16 kernel at 100% of HBM bandwidth, while our w4a16 number
+            # is measured.
+            bf16_read = (r_w4["components"]["kv_cache"]
+                         + r_w4["components"]["params_dense_nonembed"]
+                         + 2 * r_w4["n_mat"])
+            bf16_ms = bf16_read / (PEAK_HBM_GBS * 1e9) * 1e3
+            vs = bf16_ms / r_w4["decode_ms"]
+            note = ("bf16 baseline = HBM roofline bound at 100% bandwidth "
+                    "(bf16 weights do not fit on-chip)")
         print(json.dumps({
-            "metric": "llama7b_bf16_weights_fit",
-            "value": 0, "unit": "bool",
-            "note": f"bf16 7B does not fit on one v5e: {msg}",
+            "metric": "llama7b_w4a16_decode_speedup_vs_bf16",
+            "value": round(vs, 2), "unit": "x",
+            "bf16_ms_per_step": round(bf16_ms, 3),
+            "note": note,
         }), flush=True)
-        # roofline-bound bf16 decode: same cache + norm reads, but the GEMM
-        # weights stream as dense bf16 (2 bytes per logical weight).  This
-        # FAVORS the baseline — it assumes a perfect bf16 kernel at 100% of
-        # HBM bandwidth, while our w4a16 number is measured.
-        bf16_read = (r_w4["components"]["kv_cache"]
-                     + r_w4["components"]["params_dense_nonembed"]
-                     + 2 * r_w4["n_mat"])
-        bf16_ms = bf16_read / (PEAK_HBM_GBS * 1e9) * 1e3
-        vs = bf16_ms / r_w4["decode_ms"]
-        note = ("bf16 baseline = HBM roofline bound at 100% bandwidth "
-                "(bf16 weights do not fit on-chip)")
-    print(json.dumps({
-        "metric": "llama7b_w4a16_decode_speedup_vs_bf16",
-        "value": round(vs, 2), "unit": "x",
-        "bf16_ms_per_step": round(bf16_ms, 3),
-        "note": note,
-    }), flush=True)
+
+    # w8a8 end-to-end serving at 7B (VERDICT r3 item #4): int8 weight
+    # storage (6.6 GB codes) + the same uint2 KIVI cache, GEMMs on the
+    # MXU's native s8 x s8 -> s32 path (2x bf16 throughput on v5e).
+    # batch 4: at batch 8 the prefill-inside-decode temps (128 MB
+    # bf16[8,32,2048,128] per-layer selects) no longer fit next to the
+    # 6.4 GiB of int8 codes.
+    if "w8a8" in arms:
+        run_geometry("7b", "w8a8", batch=4, max_prefill=2048,
+                     max_decode=128, kivi_bits=2, label="llama7b_w8a8")
 
     # 13B w2a16 (VERDICT: "the same at 13B geometry with w2a16 if it fits")
-    run_geometry("13b", "w2a16", batch=4, max_prefill=2048,
-                 max_decode=128, kivi_bits=2, label="llama13b_w2a16")
+    if "13b" in arms:
+        run_geometry("13b", "w2a16", batch=4, max_prefill=2048,
+                     max_decode=128, kivi_bits=2, label="llama13b_w2a16")
 
     done.set()
 
