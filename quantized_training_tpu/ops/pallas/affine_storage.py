@@ -192,13 +192,16 @@ def dequant_planes_tpu(packed, sf, zp, nbits, group_size, *,
     per = 32 // nbits
     gwords = group_size // per
     sg = kp // gwords
-    # N blocks only (full-K stripes): output stripe is (K, bn)
-    bn = N
+    # N blocks only (full-K stripes): output stripe is (K, bn).  Mosaic
+    # requires the lane (last) block dim be a multiple of 128 or the full
+    # array dim, so pick the largest such divisor of N within the VMEM
+    # budget (halving alone can land on e.g. 5120 -> 320 -> 160, which is
+    # neither — the 13B w2a16 down-projection shape).
     budget = 12 * 1024 * 1024
-    while bn > 128 and (kp * bn * 4 + per * kp * bn * 2) * 2 > budget:
-        bn //= 2
-    while N % bn:
-        bn //= 2
+    cands = [N] + [b for b in range(128, N, 128) if N % b == 0]
+    fit = [b for b in cands
+           if (kp * b * 4 + per * kp * b * 2) * 2 <= budget]
+    bn = max(fit) if fit else min(cands)
     grid = (N // bn,)
     kernel = functools.partial(_dequant_kernel, nbits=nbits, gwords=gwords,
                                per=per, bk=kp)

@@ -626,7 +626,12 @@ class TestAffineStorage:
             _plane_major_x,
         )
         rng = np.random.default_rng(27)
-        for (K, N), nbits in [((1376 * 8, 128), 4), ((512, 384), 2)]:
+        # (13824, 640) w2 pins the block picker's lane rule: halving N lands
+        # on 160 (not a multiple of 128 — Mosaic rejects it; the 13B w2a16
+        # down-projection crashed exactly there on chip), so the picker must
+        # choose a 128-multiple divisor instead.
+        for (K, N), nbits in [((1376 * 8, 128), 4), ((512, 384), 2),
+                              ((13824, 640), 2)]:
             per = 32 // nbits
             kp = K // per
             w = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.float32)
