@@ -90,20 +90,22 @@ def main():
     key = jax.random.PRNGKey(0)
     params = {"w": jax.random.normal(key, SHAPE, jnp.float32) * 0.02}
 
+    skip_opt = os.environ.get("QT_PROBE_SKIP_OPT") == "1"
+
     # 1. f32 adamw --------------------------------------------------------
-    t = time_opt(optax.adamw(1e-4), params)
+    t = 1.0 if skip_opt else time_opt(optax.adamw(1e-4), params)
     # moments r+w (16) + g read (4) + upd materialize ~ (4) + p r+w (8)
     byte_bound = N_PARAMS * 32
-    print(json.dumps({
+    skip_opt or print(json.dumps({
         "metric": "opt_f32_adamw_ms", "value": round(t * 1e3, 2),
         "unit": "ms", "n_params": N_PARAMS,
         "gb_per_s_vs_min_traffic": round(byte_bound / t / 1e9, 1),
     }), flush=True)
 
     # 2. adam8bit (packed fused path on TPU) ------------------------------
-    t8 = time_opt(adam8bit(1e-4), params)
+    t8 = 1.0 if skip_opt else time_opt(adam8bit(1e-4), params)
     byte_bound8 = int(N_PARAMS * 20.1)  # codes 2r+2w, scales, g4, upd4, p8
-    print(json.dumps({
+    skip_opt or print(json.dumps({
         "metric": "opt_adam8bit_ms", "value": round(t8 * 1e3, 2),
         "unit": "ms", "n_params": N_PARAMS,
         "gb_per_s_vs_min_traffic": round(byte_bound8 / t8 / 1e9, 1),
@@ -117,7 +119,11 @@ def main():
     sys.path.insert(0, os.path.dirname(__file__))
     from timing import time_fn
 
-    nb = N_PARAMS // 256
+    del params  # free 2.1 GB before the standalone-kernel stage
+    # quarter size: time_fn stacks perturbed copies of g2d, and full size
+    # OOMs next to the kernel outputs; GB/s is size-independent here
+    nb = N_PARAMS // 256 // 4
+    n_kernel = nb * 256
     if packable_rows(nb) and not sanity:
         g2d = jnp.full((nb, 256), 1e-4, jnp.float32)
         mw = pack_moment_rows(jnp.zeros((nb, 256), jnp.int8))
@@ -136,21 +142,23 @@ def main():
                 + mso[0, 0] + vso[0, 0]
 
         tk = time_fn(call, g2d, mw, ms, vw, vs, iters=32)
-        kbytes = N_PARAMS * 12.1
+        kbytes = n_kernel * 12.1
         print(json.dumps({
             "metric": "opt_adam8bit_kernel_only_ms",
             "value": round(tk * 1e3, 2), "unit": "ms",
             "gb_per_s_vs_min_traffic": round(kbytes / tk / 1e9, 1),
         }), flush=True)
 
-    # 4. XLA f32 triad stream reference -----------------------------------
-    x = jnp.ones(SHAPE, jnp.float32)
-    y = jnp.ones(SHAPE, jnp.float32)
+    # 4. XLA f32 triad stream reference (quarter size: full-size operand
+    # stacks OOM after stage 3's buffers) ---------------------------------
+    n_triad = N_PARAMS // 4 if not sanity else N_PARAMS
+    x = jnp.ones((n_triad // 1024, 1024), jnp.float32)
+    y = jnp.ones((n_triad // 1024, 1024), jnp.float32)
     tt = time_fn(lambda a, b: a * 0.9 + b * 0.1, x, y, iters=64)
     print(json.dumps({
         "metric": "opt_xla_f32_triad_ms", "value": round(tt * 1e3, 3),
         "unit": "ms",
-        "gb_per_s": round(N_PARAMS * 12 / tt / 1e9, 1),
+        "gb_per_s": round(n_triad * 12 / tt / 1e9, 1),
     }), flush=True)
 
 
