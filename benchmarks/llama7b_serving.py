@@ -354,9 +354,10 @@ def main():
     # flagship: 7B w4a16 + packed uint2 KIVI + fused decode + scan decode
     r_w4 = None
     if "w4" in arms:
-        r_w4 = run_geometry("7b", "w4a16", batch=8, max_prefill=2048,
-                            max_decode=128, kivi_bits=2,
-                            label="llama7b_w4a16")
+        b = int(os.environ.get("QT_BENCH_W4_BATCH", "8"))
+        label = "llama7b_w4a16" + (f"_b{b}" if b != 8 else "")
+        r_w4 = run_geometry("7b", "w4a16", batch=b, max_prefill=2048,
+                            max_decode=128, kivi_bits=2, label=label)
 
     # bf16-weights baseline at the same geometry: 12.6 GiB of weights +
     # 2 GiB cache — expected NOT to fit on one 16 GB v5e. If it OOMs, that
