@@ -11,9 +11,13 @@ leaf), each candidate on its own:
      count, as the platform's fused-elementwise ceiling reference
 
 Each row reports GB/s against its *minimum* byte traffic, so "fraction"
-compares implementations against their own speed-of-light:
-  f32 adam   24 B/elem of moment traffic + 12 B/elem g/upd/param
-  adam8bit   ~12.1 B/elem total (g4 + codes2r/2w + upd4 + scales)
+compares implementations against their own speed-of-light (the exact
+per-element byte accounting lives next to each measurement below):
+  f32 adam   32 B/elem (m/v read+write 16, g read 4, p read+write 8,
+             upd write 4)
+  adam8bit   20.1 B/elem for the full update+apply path (g4 + codes 2r/2w
+             + upd4 + p read+write 8 + scales); the standalone kernel row
+             uses its kernel-only traffic of ~12.1 B/elem (no p apply)
 
 Protocol: on-device fori loop carrying (params, opt_state) — the state
 evolving through iterations defeats hoisting/CSE; the returned carry is
