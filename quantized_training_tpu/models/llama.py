@@ -185,6 +185,25 @@ class LlamaAttention(nn.Module, QuantMixin):
                     if attention_mask is None:
                         attention_mask = residual_causal_mask(
                             kcfg, B, S, c.main_len, c.res_len - S)
+                elif (attention_mask is None and kcfg.sym_bits is not None
+                      and self._int_kv_fused_eligible(kcfg, D)):
+                    # Fused int-sym decode: per-token scales fold out of
+                    # the (P, D) path; no zero-point machinery at all
+                    # (ops/pallas/int_kv_attention.py — 2.1x the uint2
+                    # KIVI kernel on chip, BENCH_KVRACE_r05).
+                    from ..ops.pallas.int_kv_attention import (
+                        int_kv_decode_attention,
+                    )
+                    ctx = int_kv_decode_attention(
+                        q[:, 0], c.k_codes, c.k_scale,
+                        c.v_codes, c.v_scale,
+                        c.k_res.astype(dtype), c.v_res.astype(dtype),
+                        ml, rl,
+                        bits=kcfg.sym_bits, int_dots=False,
+                        k_transposed=False,
+                    )
+                    ctx = ctx.reshape(B, 1, H * D)
+                    return dense(cfg.hidden_size, "o_proj")(ctx)
                 elif attention_mask is None and self._kivi_fused_eligible(kcfg, D):
                     # Fused dequant-attention: codes + scales + residual read
                     # directly, mask derived from the cache's own lengths
@@ -243,6 +262,19 @@ class LlamaAttention(nn.Module, QuantMixin):
 
     # -- fused KIVI decode path ---------------------------------------------
 
+    def _int_kv_fused_eligible(self, kcfg, D) -> bool:
+        """Static gate for the fused int-sym decode kernel: config flag on,
+        sym_bits cache, MXU-friendly head dim on TPU, and no quantization
+        hooks on the attention matmuls / scaling / softmax."""
+        cfg = self.config
+        if not cfg.use_fused_kivi or kcfg.sym_bits is None:
+            return False
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        if platform == "tpu" and D % 128 != 0:
+            return False
+        return self._attention_sites_clear()
+
     def _kivi_fused_eligible(self, kcfg, D) -> bool:
         """Static gate for the fused dequant-attention decode kernel.
 
@@ -263,6 +295,11 @@ class LlamaAttention(nn.Module, QuantMixin):
         platform = dev.platform if dev is not None else jax.default_backend()
         if platform == "tpu" and D % 128 != 0:
             return False
+        return self._attention_sites_clear()
+
+    def _attention_sites_clear(self) -> bool:
+        """No quantization hooks on attention matmuls / scaling / softmax
+        (those need the naive path's explicit sites)."""
         cfg_q = self._qconfig()
         if cfg_q is None:
             return True
