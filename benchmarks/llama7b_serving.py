@@ -121,7 +121,8 @@ def tree_bytes(t):
 
 
 # ----------------------------------------------------------------- model
-def build(geom: str, fmt, *, batch, max_prefill, max_decode, kivi_bits=2):
+def build(geom: str, fmt, *, batch, max_prefill, max_decode, kivi_bits=2,
+          kv_fmt="u2"):
     from quantized_training_tpu.models import LlamaConfig, LlamaForCausalLM
     from quantized_training_tpu.quantize import QuantConfig
     from quantized_training_tpu.serving.kv_cache import KVCacheConfig
@@ -129,12 +130,19 @@ def build(geom: str, fmt, *, batch, max_prefill, max_decode, kivi_bits=2):
 
     base = (LlamaConfig.llama2_7b() if geom == "7b"
             else LlamaConfig.llama2_13b())
-    kcfg = KVCacheConfig.kivi(
-        max_prefill=max_prefill, max_decode=max_decode,
-        k_spec=f"uint{kivi_bits},qs=group_wise_affine,bs=32,ax=-2",
-        v_spec=f"uint{kivi_bits},qs=group_wise_affine,bs=32,ax=-1",
-        pack=True,
-    )
+    if kv_fmt in ("i4", "i8"):
+        # per-token symmetric int cache + structurally-flat fused decode
+        # (BENCH_KVRACE_r05: 2.1x the uint2 kernel at 7B geometry)
+        kcfg = KVCacheConfig.int_sym(
+            max_prefill=max_prefill, max_decode=max_decode,
+            bits=4 if kv_fmt == "i4" else 8)
+    else:
+        kcfg = KVCacheConfig.kivi(
+            max_prefill=max_prefill, max_decode=max_decode,
+            k_spec=f"uint{kivi_bits},qs=group_wise_affine,bs=32,ax=-2",
+            v_spec=f"uint{kivi_bits},qs=group_wise_affine,bs=32,ax=-1",
+            pack=True,
+        )
     cfg = replace(base, kv_cache=kcfg, use_fused_kivi=True,
                   use_flash_attention=True,
                   max_position_embeddings=max_prefill + max_decode)
@@ -298,10 +306,11 @@ def check_integer_dot(model, variables, batch, max_prefill):
     }), flush=True)
 
 
-def run_geometry(geom, fmt, *, batch, max_prefill, max_decode, kivi_bits,
-                 label):
+def run_geometry(geom, fmt, *, batch, max_prefill, max_decode, kivi_bits=2,
+                 label, kv_fmt="u2"):
     model, cfg = build(geom, fmt, batch=batch, max_prefill=max_prefill,
-                       max_decode=max_decode, kivi_bits=kivi_bits)
+                       max_decode=max_decode, kivi_bits=kivi_bits,
+                       kv_fmt=kv_fmt)
     print(f"[{label}] materializing weights...", file=sys.stderr, flush=True)
     variables = materialize(model, fmt, 64)
     wbytes = tree_bytes(variables)
@@ -393,7 +402,7 @@ def main():
     done = start_watchdog(float(os.environ.get("QT_BENCH_WATCHDOG_S", "3000")))
     # partial re-runs: QT_BENCH_ARMS is a comma list of w4,bf16,w8a8,13b
     arms = set(os.environ.get(
-        "QT_BENCH_ARMS", "w4,bf16,w8a8,13b,13bw4").split(","))
+        "QT_BENCH_ARMS", "w4,w4kv4,bf16,w8a8,13b,13bw4").split(","))
 
     # flagship: 7B w4a16 + packed uint2 KIVI + fused decode + scan decode
     r_w4 = None
@@ -402,6 +411,25 @@ def main():
     if "w4" in arms:
         r_w4 = run_geometry("7b", "w4a16", batch=b, max_prefill=2048,
                             max_decode=128, kivi_bits=2, label=w4_label)
+
+    # w4a16 weights + int4 per-token-symmetric cache (the r05 structural
+    # rework of the decode attention): same weight bytes, 2x the cache
+    # bytes of uint2, but the kernel runs at 0.55 of HBM instead of 0.20 —
+    # and the cache quantization error drops ~50x.
+    if "w4kv4" in arms:
+        label4 = "llama7b_w4a16_kv4" + (f"_b{b}" if b != 8 else "")
+        r_kv4 = run_geometry("7b", "w4a16", batch=b, max_prefill=2048,
+                             max_decode=128, kv_fmt="i4", label=label4)
+        emit_speedup(label4, r_kv4, bf16_roofline_ms(r_kv4),
+                     "bf16 baseline = HBM roofline bound at 100% bandwidth "
+                     "with the same (int4) cache bytes")
+        if r_w4 is not None:
+            print(json.dumps({
+                "metric": f"{label4}_decode_speedup_vs_u2_kivi",
+                "value": round(r_w4["decode_ms"] / r_kv4["decode_ms"], 3),
+                "unit": "x",
+                "u2_ms_per_step": round(r_w4["decode_ms"], 3),
+            }), flush=True)
 
     # bf16-weights baseline at the same geometry (same batch b as the w4
     # arm — a mixed-geometry speedup would be meaningless): 12.6 GiB of

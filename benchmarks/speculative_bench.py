@@ -130,6 +130,65 @@ def main():
                 "is the overhead floor, not a trained-model speedup",
     }), flush=True)
 
+    # ---- spec_cross: w4a16 draft proposing for a w8a8 target of the SAME
+    # weights (VERDICT r04 #6).  Both models are quantizations of one
+    # underlying random-weight 7B (same materialize seed), so the
+    # acceptance rate measures genuine model agreement between two
+    # quantizations — non-degenerate, unlike draft==target — while the
+    # draft streams 3.4 GB/step vs the target's 6.6 GB.  The verify step
+    # is a (k+1)-token forward: still weight-byte-bound, so a round costs
+    # ~(k * draft_ms + target_ms) and emits 1..k+1 tokens.
+    if os.environ.get("QT_SPEC_CROSS", "1") == "1":
+        from dataclasses import replace as dc_replace
+        from quantized_training_tpu.models import (
+            LlamaConfig, LlamaForCausalLM,
+        )
+        from quantized_training_tpu.quantize import QuantConfig
+
+        del tvars  # free the w4 target before materializing the pair
+        t8, t8cfg = build("7b", "w8a8", batch=1, max_prefill=S,
+                          max_decode=NEW + K + 2, kivi_bits=2)
+        print("[spec] materializing w8a8 target...", file=sys.stderr,
+              flush=True)
+        t8vars = materialize(t8, "w8a8", 64, seed=0)
+
+        d4cfg = dc_replace(
+            LlamaConfig.llama2_7b(), kv_cache=None,
+            max_position_embeddings=S + NEW + K + 2,
+            use_flash_attention=True)
+        d4 = LlamaForCausalLM(d4cfg, QuantConfig().with_storage("w4a16", 64))
+        print("[spec] materializing w4a16 draft (same weights)...",
+              file=sys.stderr, flush=True)
+        d4vars = materialize(d4, "w4a16", 64, seed=0)
+
+        gen_plain8 = jax.jit(lambda v, i: generate(t8, v, i,
+                                                   max_new_tokens=NEW))
+        t_plain8, _ = timed(lambda: gen_plain8(t8vars, ids))
+        print(json.dumps({
+            "metric": "spec7b_w8a8_plain_decode_tokens_per_s",
+            "value": round(NEW / t_plain8, 2), "unit": "tokens/s",
+            "ms_per_token": round(t_plain8 / NEW * 1e3, 2),
+        }), flush=True)
+
+        for k_cross in (2, 3, 4):
+            gen_cross = jax.jit(lambda tv, dv, i, k=k_cross:
+                                speculative_generate(
+                                    t8, tv, d4, dv, i, NEW, k=k,
+                                    return_stats=True))
+            t_cross, (outc, statsc) = timed(
+                lambda: gen_cross(t8vars, d4vars, ids))
+            print(json.dumps({
+                "metric": f"spec7b_cross_w4draft_w8target_k{k_cross}",
+                "value": round(NEW / t_cross, 2), "unit": "tokens/s",
+                "speedup_vs_plain": round(t_plain8 / t_cross, 3),
+                "accept_rate": round(float(statsc["accept_rate"]), 4),
+                "rounds": int(statsc["rounds"]), "k": k_cross,
+                "note": "draft and target are w4a16/w8a8 quantizations of "
+                        "the same weights: acceptance = measured agreement "
+                        "between the two quantizations",
+            }), flush=True)
+        del t8vars, d4vars
+
     # ---- spec with draft == target: 100% greedy acceptance ---------------
     print("[spec] timing spec_self...", file=sys.stderr, flush=True)
     # the draft must use the fp cache: rebuild the 7B geometry without the
