@@ -196,11 +196,50 @@ def time_decode_steps(model, variables, ids, n_steps, repeats=4):
 
     @jax.jit
     def gen(variables, ids):
-        logits, upd = model.apply(
-            variables, ids, use_cache=True, cache_index=0,
-            prompt_len=jnp.asarray(S, jnp.int32), mutable=["cache"])
-        cache = upd["cache"]
-        tok = fast_argmax(logits[:, -1]).astype(jnp.int32)
+        # Chunked prefill (VERDICT r04 #3): one slot at a time, so prefill
+        # activation temps are B=1-sized — a batch-8 2048-token prefill
+        # holds multi-hundred-MB f32 MLP temps per layer next to the full
+        # cache and weight codes, which OOM'd both the w8a8 batch-8 arm
+        # (r04) and the int4-cache arm (r05).  The real serving engine
+        # prefills per-slot exactly like this.  last_logit_only: only the
+        # seed token is consumed.
+        def prefill_one(b):
+            sl = jax.lax.dynamic_slice_in_dim(ids, b, 1, 0)
+            logits, upd = model.apply(
+                variables, sl, use_cache=True, cache_index=0,
+                prompt_len=jnp.asarray(S, jnp.int32), mutable=["cache"],
+                last_logit_only=True)
+            return logits[:, -1], upd["cache"]
+
+        lg0, c0 = prefill_one(0)
+
+        def widen(leaf):
+            if leaf.ndim == 0:
+                return leaf
+            out = jnp.zeros((B,) + leaf.shape[1:], leaf.dtype)
+            return jax.lax.dynamic_update_slice(
+                out, leaf, (0,) * out.ndim)
+
+        cache = jax.tree_util.tree_map(widen, c0)
+        tok0 = jnp.zeros((B,), jnp.int32).at[0].set(
+            fast_argmax(lg0)[0].astype(jnp.int32))
+
+        def pre_body(b, carry):
+            cache, toks = carry
+            lg, cb = prefill_one(b)
+
+            def merge(big, small):
+                if small.ndim == 0:
+                    return big
+                start = (b,) + (0,) * (small.ndim - 1)
+                return jax.lax.dynamic_update_slice(
+                    big, small.astype(big.dtype), start)
+
+            cache = jax.tree_util.tree_map(merge, cache, cb)
+            toks = toks.at[b].set(fast_argmax(lg)[0].astype(jnp.int32))
+            return cache, toks
+
+        cache, tok = jax.lax.fori_loop(1, B, pre_body, (cache, tok0))
 
         def body(carry, _):
             cache, tok, pos = carry

@@ -358,9 +358,32 @@ class LlamaAttention(nn.Module, QuantMixin):
             return False
         if cfg_q.activation_spec(self._path_str, "softmax", OpCategory.ACTIVATION, 0) is not None:
             return False
-        if cfg_q.error_spec(self._path_str, "matmul", OpCategory.GEMM, 0) is not None:
+        # backward error quantization on the attention matmuls: the flash
+        # backward hosts it (err_qfn) when both input-index specs are the
+        # same direct rounding; anything fancier needs the naive path's
+        # explicit bwd_quantize sites.
+        e0 = self._site_err_direct(0)
+        e1 = self._site_err_direct(1)
+        if e0 is False or e1 is False:
+            return False
+        if (e0 is not None or e1 is not None) and e0 != e1:
             return False
         return True
+
+    def _site_err_direct(self, index):
+        """Error-spec dtype for an attention-matmul input cotangent if it is
+        a direct rounding (flash-hostable); False if the site needs
+        machinery flash cannot host; None if off."""
+        cfg_q = self._qconfig()
+        if cfg_q is None:
+            return None
+        spec = cfg_q.error_spec(
+            self._path_str, "matmul", OpCategory.GEMM, index)
+        if spec is None:
+            return None
+        if spec.qscheme is None and spec.outlier_threshold is None:
+            return spec.dtype
+        return False
 
     def _flash_path(self, q, k, v):
         """Quantization-fused flash attention (q/k/v in (B, S, H, D)).
@@ -375,6 +398,7 @@ class LlamaAttention(nn.Module, QuantMixin):
         kd = self._site_direct_dtype("matmul", OpCategory.GEMM, 1)
         pd = self._site_direct_dtype("matmul", OpCategory.GEMM, 0, "av")
         vd = self._site_direct_dtype("matmul", OpCategory.GEMM, 1, "av")
+        ed = self._site_err_direct(0) or self._site_err_direct(1)
         od = None
         cfg_q = self._qconfig()
         if cfg_q is not None:
@@ -394,6 +418,7 @@ class LlamaAttention(nn.Module, QuantMixin):
             p_qfn=quantize_fn_unit(pd) if pd else None,
             v_qfn=quantize_fn(vd) if vd else None,
             out_qfn=quantize_fn(od) if od else None,
+            err_qfn=quantize_fn(ed) if ed else None,
         )
         return out.transpose(0, 2, 1, 3), od is not None
 
@@ -588,12 +613,19 @@ class LlamaForCausalLM(nn.Module, QuantMixin):
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, positions=None,
                  use_cache=False, cache_index=None, prompt_len=None,
-                 decode_append=False):
+                 decode_append=False, last_logit_only=False):
         cfg = self.config
         hidden = LlamaModel(cfg, self.qconfig, name="model")(
             input_ids, attention_mask, positions, use_cache, cache_index,
             prompt_len, decode_append,
         )
+        if last_logit_only:
+            # Serving prefill: only the last position's logits are consumed
+            # (the cache write is the prefill's real product).  Slicing the
+            # hidden state before lm_head drops a (B, S, vocab) temp —
+            # 1.05 GB bf16 at (8, 2048, 32000) — and the full-sequence
+            # lm_head GEMM from the decode graph.
+            hidden = hidden[:, -1:]
         if cfg.tie_word_embeddings:
             embed = self.variables["params"]["model"]["embed_tokens"]["embedding"]
             logits = hidden @ embed.T.astype(hidden.dtype)

@@ -226,12 +226,67 @@ def _attn_kernel(
             lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, LANES))
 
 
+def _bwd_di_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    di_acc,
+    *,
+    scale: float, causal: bool, q_offset: int,
+    block_q: int, block_k: int, err_qfn,
+):
+    """di = sum_j rowsum(p * err_qfn(dp)) — the softmax-backward inner
+    product when the error (gradient) quantizer taps dp BEFORE the softmax
+    jacobian (reference backward-pre hook on the av matmul's p input,
+    quantize.py:142-150).  The o-based shortcut di = rowsum(dO * o) equals
+    rowsum(p * dp) only for unquantized dp, so the error-quantized backward
+    pays one extra recompute pass for exact tap placement."""
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        di_acc[:] = jnp.zeros_like(di_acc)
+
+    q_start = i * block_q + q_offset
+    k_start = j * block_k
+    needed = jnp.logical_or(
+        jnp.logical_not(causal), k_start <= q_start + block_q - 1
+    )
+
+    @pl.when(needed)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            q_pos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpq = err_qfn(dp.astype(jnp.bfloat16)).astype(jnp.float32)
+        di_acc[:] += jnp.sum(p * dpq, axis=1, keepdims=True)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        di_ref[0, 0] = jnp.broadcast_to(di_acc[:], di_ref.shape[2:])
+
+
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
     dq_acc,
     *,
     scale: float, causal: bool, q_offset: int,
-    block_q: int, block_k: int,
+    block_q: int, block_k: int, err_qfn=None,
 ):
     """dq = sum_j [p * (dO V^T - di)] * scale @ K — one (b, h, i) row of q
     blocks, sequential over j, score tiles recomputed in VMEM.  With
@@ -275,6 +330,11 @@ def _bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bq, bk)
+        if err_qfn is not None:
+            # error tap on the av matmul's p-input cotangent (reference
+            # backward-pre hook): dp quantized BEFORE the softmax jacobian;
+            # di was accumulated from the quantized dp by _bwd_di_kernel
+            dp = err_qfn(dp.astype(jnp.bfloat16)).astype(jnp.float32)
         ds = p * (dp - di) * scale
         dq_acc[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -291,7 +351,7 @@ def _bwd_dkv_kernel(
     *,
     scale: float, causal: bool, q_offset: int,
     block_q: int, block_k: int,
-    p_qfn=None,
+    p_qfn=None, err_qfn=None,
 ):
     """dk/dv for one (b, h, j) k block, sequential over q blocks i.
     dv = p^T dO;  dk = [p * (dO V^T - di) * scale]^T Q.  With probability
@@ -343,6 +403,8 @@ def _bwd_dkv_kernel(
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if err_qfn is not None:
+            dp = err_qfn(dp.astype(jnp.bfloat16)).astype(jnp.float32)
         ds = p * (dp - di) * scale                       # (bq, bk)
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -404,6 +466,7 @@ def flash_attention(
     p_qfn: Optional[Callable] = None,
     v_qfn: Optional[Callable] = None,
     out_qfn: Optional[Callable] = None,
+    err_qfn: Optional[Callable] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -418,6 +481,15 @@ def flash_attention(
     Differentiable: the backward pass recomputes attention from q/k/v
     (standard flash rematerialization); probability quantization uses the
     straight-through-exact backward (see module docstring).
+
+    ``err_qfn`` hosts the reference's backward error quantization
+    (quantize.py:142-150 error_pre_process hooks on the attention matmul
+    inputs) inside the flash backward: dp is quantized before the softmax
+    jacobian (with di recomputed from the quantized dp — one extra
+    recompute pass), and dq/dk/dv are quantized as they exit.  Without
+    this the model must fall back to naive attention whenever the
+    backward=gemm ladder rung is active — the r04 train bench's fwderr
+    arm silently paid exactly that.
     """
     B, H, S, D = q.shape
     _, KV, T, _ = k.shape
@@ -528,10 +600,12 @@ def flash_attention(
         """Tile-recomputed flash backward: dq then dk/dv, no (S, T) tensor
         in HBM.  di = rowsum(dO * o_unq) — the softmax-backward inner
         product; o_unq is p @ v with p UNQUANTIZED (equals the forward
-        output except under out_qfn / p_qfn, where the forward saves it)."""
+        output except under out_qfn / p_qfn, where the forward saves it).
+        With ``err_qfn`` (backward error quantization), dp is tapped before
+        the softmax jacobian, so di must be rowsum(p * quant(dp)) — the
+        o-based shortcut no longer holds and a dedicated recompute pass
+        (_bwd_di_kernel) produces it."""
         do = g.astype(jnp.float32)
-        di = jnp.sum(do * o_unq.astype(jnp.float32), axis=-1)   # (B, H, S)
-        di = jnp.broadcast_to(di[..., None], (B, H, S, LANES))
 
         # backward tiles hold ~1.5x the forward footprint — own block sizes
         bq2, bk2 = attention_bwd_blocks(S, T, D)
@@ -541,8 +615,32 @@ def flash_attention(
             scale=scale, causal=causal, q_offset=q_offset,
             block_q=bq2, block_k=bk2,
         )
+        if err_qfn is None:
+            di = jnp.sum(do * o_unq.astype(jnp.float32), axis=-1)
+            di = jnp.broadcast_to(di[..., None], (B, H, S, LANES))
+        else:
+            di = pl.pallas_call(
+                functools.partial(_bwd_di_kernel, err_qfn=err_qfn, **common),
+                grid=(B, H, S // bq2, T // bk2),
+                in_specs=[
+                    pl.BlockSpec((1, 1, bq2, D), bq_map),
+                    pl.BlockSpec((1, 1, bk2, D), bkv_map),
+                    pl.BlockSpec((1, 1, bk2, D), bkv_map),
+                    pl.BlockSpec((1, 1, bq2, D), bq_map),
+                    pl.BlockSpec((1, 1, bq2, LANES), bq_map),
+                ],
+                out_specs=pl.BlockSpec((1, 1, bq2, LANES), bq_map),
+                out_shape=jax.ShapeDtypeStruct((B, H, S, LANES),
+                                               jnp.float32),
+                scratch_shapes=[pltpu.VMEM((bq2, 1), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel", "parallel",
+                                         "arbitrary"),
+                ),
+                interpret=interpret,
+            )(qr, kr, vr, g, lse)
         dq = pl.pallas_call(
-            functools.partial(_bwd_dq_kernel, **common),
+            functools.partial(_bwd_dq_kernel, err_qfn=err_qfn, **common),
             grid=(B, H, S // bq2, T // bk2),
             in_specs=[
                 pl.BlockSpec((1, 1, bq2, D), bq_map),
@@ -567,7 +665,8 @@ def flash_attention(
         kv_j_map = lambda b, h, j, i, group=group: (b, h // group, j, 0)
         q_i_map = lambda b, h, j, i: (b, h, i, 0)
         dk_h, dv_h = pl.pallas_call(
-            functools.partial(_bwd_dkv_kernel, p_qfn=p_qfn, **common),
+            functools.partial(_bwd_dkv_kernel, p_qfn=p_qfn, err_qfn=err_qfn,
+                              **common),
             grid=(B, H, T // bk2, S // bq2),
             in_specs=[
                 pl.BlockSpec((1, 1, bq2, D), q_i_map),
@@ -602,6 +701,15 @@ def flash_attention(
             dv = dv_h.reshape(B, KV, group, T, D).sum(axis=2).astype(vr.dtype)
         else:
             dk, dv = dk_h, dv_h
+        if err_qfn is not None:
+            # error taps on the matmul input cotangents as they exit —
+            # identical placement to the naive path's bwd_quantize sites on
+            # q / k (qk matmul inputs) and v (av matmul input), which tap
+            # dq / dk / dv pre-GQA-expansion (dk/dv summed over the group
+            # first, matching quantize-after-sum there)
+            dq = err_qfn(dq)
+            dk = err_qfn(dk)
+            dv = err_qfn(dv)
         return dq, dk, dv
 
     @jax.custom_vjp

@@ -130,10 +130,13 @@ def generate(
         assert max_new_tokens <= model.config.kv_cache.max_decode, (
             max_new_tokens, model.config.kv_cache.max_decode)
 
-    # Prefill: fills the cache, returns logits for the last prompt token.
+    # Prefill: fills the cache, returns logits for the last prompt token
+    # (last_logit_only drops the (B, S, vocab) prefill logits temp and the
+    # full-sequence lm_head GEMM — only position -1 is sampled).
     logits, upd = model.apply(
         variables, input_ids, use_cache=True, cache_index=0,
         prompt_len=S if kivi else None, mutable=["cache"],
+        last_logit_only=True,
     )
     cache = upd["cache"]
     rng, step_rng = jax.random.split(rng)

@@ -432,19 +432,26 @@ def residual_causal_mask(
 
 def pack_tokens_planar(codes: jax.Array, bits: int) -> jax.Array:
     """(…, P, D) int codes in [0, 2^bits) -> (…, P//per, D) int32 words,
-    token-planar, fields centered two's-complement."""
+    token-planar, fields centered two's-complement.
+
+    Accumulated plane-by-plane with slices + ors rather than a reshape /
+    broadcast-shift / reduce: the reduce form materialized two full
+    (…, per, P//per, D) int32 temps — 2.7 GB each at the 7B batch-8 cache
+    shape, which OOM'd the serving decode graph — while the slice chain
+    fuses into a single output-sized loop.
+    """
     assert bits in (1, 2, 4)
     per = 32 // bits
     *lead, P, D = codes.shape
     assert P % per == 0, (P, per)
     mid = 1 << (bits - 1)
     mask = (1 << bits) - 1
+    pp = P // per
     fields = (codes.astype(jnp.int32) - mid) & mask
-    planes = fields.reshape(*lead, per, P // per, D)
-    shifts = (jnp.arange(per, dtype=jnp.int32) * bits).reshape(
-        (1,) * len(lead) + (per, 1, 1))
-    # fields are bit-disjoint, so the sum is the bitwise OR (int32 wraps)
-    return jnp.sum(planes << shifts, axis=-3).astype(jnp.int32)
+    out = jnp.zeros((*lead, pp, D), jnp.int32)
+    for s in range(per):
+        out = out | (fields[..., s * pp:(s + 1) * pp, :] << (bits * s))
+    return out
 
 
 def unpack_tokens_planar(packed: jax.Array, bits: int) -> jax.Array:

@@ -238,13 +238,15 @@ def speculative_generate(
     t_vars = {key: v for key, v in target_variables.items() if key != "cache"}
     d_vars = {key: v for key, v in draft_variables.items() if key != "cache"}
 
-    # Prefill both caches over the prompt.
+    # Prefill both caches over the prompt (last-position logits only: the
+    # prompt is true-length here, and only position -1 seeds the loop).
     logits_t, upd_t = target_model.apply(
         target_variables, input_ids, use_cache=True, cache_index=0,
-        prompt_len=S if t_kcfg is not None else None, mutable=["cache"])
+        prompt_len=S if t_kcfg is not None else None, mutable=["cache"],
+        last_logit_only=True)
     _, upd_d = draft_model.apply(
         draft_variables, input_ids, use_cache=True, cache_index=0,
-        mutable=["cache"])
+        mutable=["cache"], last_logit_only=True)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)

@@ -241,3 +241,142 @@ class TestExactProbabilityQuantization:
         want = np.asarray(_naive_attention(
             q, k, v, 1.0 / np.sqrt(128), True, 0, None, None, p_qfn, None))
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+class TestErrorQuantizedBackward:
+    """err_qfn hosts the backward error taps (reference backward-pre hooks
+    on the attention matmul inputs) inside the flash backward: dq/dk/dv
+    quantized at exit, dp quantized before the softmax jacobian with
+    di = rowsum(p * quant(dp))."""
+
+    @staticmethod
+    def _naive_err(q, k, v, scale, causal, err_qfn):
+        """jnp reference with the same tap placement as the model's naive
+        path: bwd_quantize on q, k, v (the matmul input cotangents) and on
+        the softmax output (dp)."""
+        from quantized_training_tpu.models.layers import bwd_quantize
+        from quantized_training_tpu.qspec import QuantizationSpec
+
+        spec = QuantizationSpec.from_str("posit8_1")
+
+        def attn(q, k, v):
+            q = bwd_quantize(q, spec)
+            k = bwd_quantize(k, spec)
+            v = bwd_quantize(v, spec)
+            s = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                           preferred_element_type=jnp.float32) * scale
+            if causal:
+                S, T = q.shape[2], k.shape[2]
+                mask = jnp.arange(T)[None, :] <= jnp.arange(S)[:, None]
+                s = jnp.where(mask[None, None], s, -2.0 ** 30)
+            p = jax.nn.softmax(s, axis=-1)
+            p = bwd_quantize(p.astype(jnp.bfloat16), spec)
+            return jnp.einsum("bhst,bhtd->bhsd", p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32
+                              ).astype(q.dtype)
+
+        return attn(q, k, v)
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_err_grads_match_naive_taps(self, causal):
+        q, k, v = make_qkv(S=256, T=256, dtype=jnp.bfloat16)
+        err = quantize_fn("posit8_1")
+        scale = 1.0 / np.sqrt(128)
+
+        def loss_flash(q, k, v):
+            o = flash_attention(q, k, v, causal=causal, err_qfn=err,
+                                block_q=128, block_k=128)
+            return jnp.sum(o.astype(jnp.float32) * 1.0001)
+
+        def loss_naive(q, k, v):
+            o = self._naive_err(q, k, v, scale, causal, err)
+            return jnp.sum(o.astype(jnp.float32) * 1.0001)
+
+        g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g, g_ref, "qkv"):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale_ref = np.max(np.abs(b)) + 1e-9
+            assert np.max(np.abs(a - b)) / scale_ref < 0.08, (
+                name, np.max(np.abs(a - b)), scale_ref)
+
+    def test_err_grads_are_quantized_values(self):
+        """dq/dk/dv carry only representable posit8 values (the exit tap
+        really ran)."""
+        q, k, v = make_qkv(S=128, T=128, dtype=jnp.bfloat16)
+        err = quantize_fn("posit8_1")
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, causal=True, err_qfn=err,
+                block_q=128, block_k=128).astype(jnp.float32) * 1.0001)
+
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for g in (dq, dk, dv):
+            gq = err(g)
+            np.testing.assert_array_equal(np.asarray(gq, np.float32),
+                                          np.asarray(g, np.float32))
+
+    def test_err_with_gqa(self):
+        q, k, v = make_qkv(H=4, KV=2, S=128, T=128, dtype=jnp.bfloat16)
+        err = quantize_fn("posit8_1")
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, causal=True, err_qfn=err,
+                block_q=128, block_k=128).astype(jnp.float32) * 1.0001)
+
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        assert dk.shape == k.shape and dv.shape == v.shape
+        assert np.isfinite(np.asarray(dq, np.float32)).all()
+
+
+class TestModelFlashErrPath:
+    def test_fwderr_model_keeps_flash_and_matches_naive(self):
+        """With backward=gemm error quantization, the model stays on the
+        flash path (r04's train bench silently fell back to naive) and its
+        grads track the naive-path model's."""
+        from quantized_training_tpu.models import (
+            LlamaConfig, LlamaForCausalLM,
+        )
+        from quantized_training_tpu.quantize import QConfig, QuantConfig
+        from quantized_training_tpu.training import causal_lm_loss
+
+        qc = QuantConfig(
+            global_qconfig=QConfig.from_strs(
+                activation="posit8_1", weight="posit8_1", error="posit8_1"),
+        ).with_fusion(forward="gemm", backward="gemm")
+        kw = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+                  num_hidden_layers=2, num_attention_heads=2,
+                  num_key_value_heads=2, max_position_embeddings=128)
+        cfg_f = LlamaConfig(use_flash_attention=True, **kw)
+        cfg_n = LlamaConfig(use_flash_attention=False, **kw)
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, (2, 128)))
+        m_f = LlamaForCausalLM(cfg_f, qc)
+        m_n = LlamaForCausalLM(cfg_n, qc)
+        variables = m_f.init(jax.random.PRNGKey(0), ids)
+
+        # flash actually used: the naive path materializes a softmax
+        # observer/module; the flash path must not
+        flat = jax.tree_util.tree_flatten_with_path(
+            jax.eval_shape(m_f.init, jax.random.PRNGKey(0), ids))[0]
+        assert not any("softmax" in str(p).lower() for p, _ in flat), (
+            "flash path not taken under backward=gemm")
+
+        def loss(m):
+            return lambda p: causal_lm_loss(
+                m.apply({**variables, "params": p}, ids),
+                {"input_ids": ids})
+
+        gf = jax.grad(loss(m_f))(variables["params"])
+        gn = jax.grad(loss(m_n))(variables["params"])
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(gf)[0],
+                jax.tree_util.tree_flatten_with_path(gn)[0]):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            denom = np.max(np.abs(b)) + 1e-9
+            assert np.max(np.abs(a - b)) / denom < 0.15, (
+                str(pa), np.max(np.abs(a - b)), denom)
