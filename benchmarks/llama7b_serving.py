@@ -145,6 +145,10 @@ def build(geom: str, fmt, *, batch, max_prefill, max_decode, kivi_bits=2,
         )
     cfg = replace(base, kv_cache=kcfg, use_fused_kivi=True,
                   use_flash_attention=True,
+                  # fused qkv GEMM: +13% on the decode qkvo GEMM (r04),
+                  # wired by default for serving (QT_BENCH_FUSED_QKV=0
+                  # reverts)
+                  fused_qkv=os.environ.get("QT_BENCH_FUSED_QKV", "1") == "1",
                   max_position_embeddings=max_prefill + max_decode)
     qc = QuantConfig().with_storage(fmt, 64) if fmt else None
     return LlamaForCausalLM(cfg, qc), cfg

@@ -13,7 +13,8 @@ from .layers import (
     QSoftmax,
     bwd_quantize,
 )
-from .llama import LlamaConfig, LlamaForCausalLM, LlamaModel, causal_mask
+from .llama import (LlamaConfig, LlamaForCausalLM, LlamaModel, causal_mask,
+                    fuse_qkv_params)
 from .bert import (
     BertConfig,
     BertModel,

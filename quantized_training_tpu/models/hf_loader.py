@@ -97,6 +97,15 @@ def convert_llama(state: Dict, num_layers: int,
     return p
 
 
+def maybe_fuse_qkv(params: Dict, cfg) -> Dict:
+    """Apply the fused-qkv layout conversion when cfg.fused_qkv is set
+    (checkpoints store unfused q/k/v; see llama.fuse_qkv_params)."""
+    if getattr(cfg, "fused_qkv", False):
+        from .llama import fuse_qkv_params
+        return fuse_qkv_params(params, cfg)
+    return params
+
+
 def convert_bert(state: Dict, num_layers: int, prefix: str = "bert",
                  heads=("qa_outputs", "classifier")) -> Dict:
     """HF BertFor* state dict -> BertFor* params (also RoBERTa with

@@ -43,7 +43,7 @@ def shard_rules_llama() -> Rules:
     m = MODEL_AXIS
     return (
         # attention: qkv column-parallel, o row-parallel
-        (r"\.(q_proj|k_proj|v_proj)\.kernel$", P(None, m)),
+        (r"\.(q_proj|k_proj|v_proj|qkv_proj)\.kernel$", P(None, m)),
         (r"\.o_proj\.kernel$", P(m, None)),
         # mlp: gate/up column-parallel, down row-parallel
         (r"\.(gate_proj|up_proj)\.kernel$", P(None, m)),
@@ -86,10 +86,10 @@ def shard_rules_llama_storage(fmt: str = "posit8") -> Rules:
     else:
         col_q, row_q = P(None, m), P(m, None)
     return (
-        (r"\.(q_proj|k_proj|v_proj|gate_proj|up_proj|lm_head)\.codes$",
+        (r"\.(q_proj|k_proj|v_proj|qkv_proj|gate_proj|up_proj|lm_head)\.codes$",
          P(None, m)),
         (r"\.(o_proj|down_proj)\.codes$", P(m, None)),
-        (r"\.(q_proj|k_proj|v_proj|gate_proj|up_proj|lm_head)"
+        (r"\.(q_proj|k_proj|v_proj|qkv_proj|gate_proj|up_proj|lm_head)"
          r"\.(scales|zero_points)$", col_q),
         (r"\.(o_proj|down_proj)\.(scales|zero_points)$", row_q),
     )
