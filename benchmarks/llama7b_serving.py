@@ -300,8 +300,8 @@ def matmul_params(variables, model):
             # affine codes are packed int32 words: logical = size * 32/nbits
             per = 1
             fmt = model.qconfig.storage_fmt
-            if fmt in ("w4a16", "w2a16"):
-                per = 8 if fmt == "w4a16" else 16
+            if fmt in ("w4a16", "w2a16", "w2x4"):
+                per = 16 if fmt == "w2a16" else 8
             n += leaf.size * per
     return n
 
@@ -315,12 +315,32 @@ def check_integer_dot(model, variables, batch, max_prefill):
     graph (ADVICE r04: the permissive fallback could pass without a real
     integer dot, and the decode path was never inspected)."""
     import re
-    pat = re.compile(r"s32\[[^\]]*\][^\n]*\bdot\([^\n)]*s8\[")
+
+    def count_s8_dots(txt):
+        """Count s32-producing dot/convolution instructions whose operands
+        resolve to s8 values.  This TPU toolchain lowers integer dots as
+        `%x = s32[...] convolution(%a, %b)` with UNTYPED operand names, so
+        the check builds a name -> dtype map first and resolves operands —
+        an inline-typed regex can never match here (ADVICE r04 asked for
+        strictness; r05 found the strict inline pattern matched nothing)."""
+        dtype_of = {}
+        for m in re.finditer(r"%([\w.\-]+) = (\w+)\[", txt):
+            dtype_of[m.group(1)] = m.group(2)
+        n = 0
+        for m in re.finditer(
+                r"= s32\[[^\]]*\][^\n]*?(?:convolution|dot)\(([^)]*)\)",
+                txt):
+            ops = re.findall(r"%([\w.\-]+)", m.group(1))
+            if len(ops) >= 2 and all(
+                    dtype_of.get(o) == "s8" for o in ops[:2]):
+                n += 1
+        return n
+
     tok = jnp.zeros((batch, 1), jnp.int32)
     lowered = jax.jit(
         lambda v, t: model.apply(
             v, t, use_cache=False)).lower(variables, tok)
-    n_prefill = len(pat.findall(lowered.compile().as_text()))
+    n_prefill = count_s8_dots(lowered.compile().as_text())
 
     # cached decode step, lowered with an abstract cache (no allocation)
     ids_s = jax.ShapeDtypeStruct((batch, max_prefill), jnp.int32)
@@ -337,8 +357,8 @@ def check_integer_dot(model, variables, batch, max_prefill):
             prompt_len=jnp.asarray(max_prefill, jnp.int32),
             mutable=["cache"]))
     tok_s = jax.ShapeDtypeStruct((batch, 1), jnp.int32)
-    n_decode = len(pat.findall(
-        dec.lower(variables, upd["cache"], tok_s).compile().as_text()))
+    n_decode = count_s8_dots(
+        dec.lower(variables, upd["cache"], tok_s).compile().as_text())
 
     ok = n_prefill > 0 and n_decode > 0
     print(json.dumps({
@@ -445,7 +465,7 @@ def main():
     done = start_watchdog(float(os.environ.get("QT_BENCH_WATCHDOG_S", "3000")))
     # partial re-runs: QT_BENCH_ARMS is a comma list of w4,bf16,w8a8,13b
     arms = set(os.environ.get(
-        "QT_BENCH_ARMS", "w4,w4kv4,bf16,w8a8,13b,13bw4").split(","))
+        "QT_BENCH_ARMS", "w4,w4kv4,bf16,w8a8,13b,13bw4,13bx").split(","))
 
     # flagship: 7B w4a16 + packed uint2 KIVI + fused decode + scan decode
     r_w4 = None
@@ -505,10 +525,16 @@ def main():
     # Default batch from QT_BENCH_W8_BATCH (8 once chunked prefill landed;
     # 4 was the r04 OOM workaround).
     if "w8a8" in arms:
-        b8 = int(os.environ.get("QT_BENCH_W8_BATCH", "4"))
-        label = "llama7b_w8a8" + (f"_b{b8}" if b8 != 8 else "")
+        b8 = int(os.environ.get("QT_BENCH_W8_BATCH", "8"))
+        # int4-sym cache by default: the uint2 KIVI v-scale layout
+        # (..., P, 4) uncompresses to 32x-padded 128 MB temps around the
+        # fused kernel (20 live at once OOM'd batch 8 by 0.5 G); the
+        # int-sym scale layout (..., 1, P) is lane-native.
+        kvf = os.environ.get("QT_BENCH_W8_KV", "i4")
+        label = ("llama7b_w8a8" + ("_kv4" if kvf == "i4" else "")
+                 + (f"_b{b8}" if b8 != 8 else ""))
         r_w8 = run_geometry("7b", "w8a8", batch=b8, max_prefill=2048,
-                            max_decode=128, kivi_bits=2, label=label)
+                            max_decode=128, kv_fmt=kvf, label=label)
         # the speedup line is computed here, from the same run that
         # produced the decode number (ADVICE r04: this line used to be
         # hand-authored into the artifact)
@@ -522,6 +548,19 @@ def main():
                             max_decode=128, kivi_bits=2,
                             label="llama13b_w2a16")
         emit_speedup("llama13b_w2a16", r_13, bf16_roofline_ms(r_13),
+                     "bf16 baseline = HBM roofline bound at 100% bandwidth "
+                     "(bf16 13B does not fit on-chip)")
+
+    # 13B with w2 NUMERICS in the w4 word layout (storage fmt w2x4): same
+    # uint2 group-affine values as the w2a16 arm, 1.7-2.1x the direct w2
+    # kernel speed (BENCH_W2X_r05) at w4-size bytes — the answer to
+    # "make w2 earn its bytes": it can't on this VPU-issue-bound
+    # toolchain, but its *values* can run at w4 speed when the bytes fit.
+    if "13bx" in arms:
+        r_13x = run_geometry("13b", "w2x4", batch=4, max_prefill=2048,
+                             max_decode=128, kv_fmt="i4",
+                             label="llama13b_w2x4")
+        emit_speedup("llama13b_w2x4", r_13x, bf16_roofline_ms(r_13x),
                      "bf16 baseline = HBM roofline bound at 100% bandwidth "
                      "(bf16 13B does not fit on-chip)")
 

@@ -115,7 +115,8 @@ def probe_gemms(nbits):
             for p, s, z in packs:
                 y = affine_matmul(x, p, s, z, nbits=nbits, group_size=GROUP,
                                   out_dtype=jnp.bfloat16)
-                acc = acc + jnp.sum(jnp.abs(y[..., :1]).astype(jnp.float32))
+                y = jax.lax.optimization_barrier(y)
+                acc = acc + y[0, 0].astype(jnp.float32)
             return x + 1, acc
 
         dtq = timed_chain(step_q, packs,
@@ -125,7 +126,13 @@ def probe_gemms(nbits):
             x, acc = c
             for w in ws:
                 y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-                acc = acc + jnp.sum(jnp.abs(y[..., :1]))
+                # barrier, then a scalar probe: a sliced reduction without
+                # the barrier lets XLA fold the slice into the GEMM and
+                # compute ONE column (measured "mfu 27" on a 0.97-peak
+                # part); a full abs-sum would bill ~0.5 ms of reduction to
+                # the GEMM instead
+                y = jax.lax.optimization_barrier(y)
+                acc = acc + y[0, 0]
             return x + 1, acc
 
         dtd = timed_chain(step_d, dense,

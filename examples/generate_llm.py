@@ -30,11 +30,12 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--kv_cache", default=None,
-                        choices=[None, "uint2", "uint4", "uint8"],
-                        help="KIVI-quantize the KV cache at this width")
+                        choices=[None, "uint2", "uint4", "uint8",
+                                 "int4", "int8"],
+                        help="quantize the KV cache: uint2/uint4 (KIVI group-affine) or int8/int4 (per-token symmetric, TPU-fast)")
     parser.add_argument("--storage", default=None,
                         choices=[None, "posit8", "mx8", "w4a16", "w2a16",
-                                 "w8a8"],
+                                 "w2x4", "w8a8"],
                         help="serve with packed weight storage: kernels are "
                              "converted offline and the bf16 weights never "
                              "reach the device (quantize/storage.py)")
@@ -63,7 +64,12 @@ def main():
 
     qconfig = quant_config_from_args(args)
     kcfg = None
-    if args.kv_cache:
+    if args.kv_cache in ("int8", "int4"):
+        # per-token symmetric int cache: the TPU-fast format (2.1x the
+        # uint2 KIVI decode kernel, ~50x tighter quantization error)
+        kcfg = KVCacheConfig.int_sym(
+            P, args.max_new_tokens, bits=int(args.kv_cache[3:]))
+    elif args.kv_cache:
         kcfg = KVCacheConfig.kivi(
             P, args.max_new_tokens,
             k_spec=f"{args.kv_cache},qs=group_wise_affine,bs=32,ax=-2",

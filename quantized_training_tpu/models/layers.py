@@ -363,7 +363,9 @@ class QDense(nn.Module, QuantMixin):
             y = w8a8_matmul(x2, codes, scale)
         else:
             from ..ops.pallas.affine_storage import affine_matmul
-            nbits = 4 if fmt == "w4a16" else 2
+            # w2x4 stores w2 values in the w4 word layout (zp pre-shifted
+            # at pack time), so it consumes the nbits=4 kernel unchanged
+            nbits = 2 if fmt == "w2a16" else 4
             sf = self.get_variable("storage", "scales")
             zp = self.get_variable("storage", "zero_points")
             y = affine_matmul(x2, codes, sf, zp, nbits=nbits,

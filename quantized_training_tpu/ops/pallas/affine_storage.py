@@ -57,7 +57,33 @@ from ...quantize.fake_quant import _group_affine_qparams
 from ...quantize.ops import expand_scale
 
 __all__ = ["pack_affine_weights", "plane_pack", "affine_matmul",
-           "affine_spec"]
+           "affine_spec", "expand_w2_words_to_w4"]
+
+
+def expand_w2_words_to_w4(packed2: jax.Array) -> jax.Array:
+    """(K/16, N) int32 w2 words -> (K/8, N) int32 w4 words holding the SAME
+    centered w2 code values in 4-bit two's-complement fields.
+
+    w2 word r covers original rows r*16 + p; rows p < 8 land in w4 word 2r
+    field p, rows p >= 8 in word 2r+1 field p-8 — a pure per-word bit op.
+    The r05 on-chip race (BENCH_W2X_r05) measured the w4-layout form
+    1.7-2.1x faster than the direct w2 kernel at identical numerics (w2 is
+    VPU-issue-bound: per-code instruction work is constant while bytes
+    halve), so when the 2x storage fits, w2-valued models should ship in
+    this layout (storage format "w2x4").  The consumer is the ordinary
+    nbits=4 ``affine_matmul`` with zero-points pre-shifted by +6 so its
+    mid-16 correction equals the original mid-2 one:
+    (zp + 6 - 8) * sf == (zp - 2) * sf.
+    """
+    kp2, N = packed2.shape
+    even = jnp.zeros((kp2, N), jnp.int32)
+    odd = jnp.zeros((kp2, N), jnp.int32)
+    for p in range(8):
+        c_lo = (packed2 << (32 - 2 * (p + 1))) >> 30       # rows p
+        c_hi = (packed2 << (32 - 2 * (p + 9))) >> 30       # rows p + 8
+        even = even | ((c_lo & 0xF) << (4 * p))
+        odd = odd | ((c_hi & 0xF) << (4 * p))
+    return jnp.stack([even, odd], axis=1).reshape(kp2 * 2, N)
 
 
 def affine_spec(nbits: int, group_size: int) -> QuantizationSpec:

@@ -210,7 +210,7 @@ class QuantConfig:
     def with_storage(self, fmt: Optional[str],
                      group: int = 64) -> "QuantConfig":
         """Serve with packed weight storage (see quantize/storage.py)."""
-        assert fmt in (None, "posit8", "mx8", "w4a16", "w2a16", "w8a8"), fmt
+        assert fmt in (None, "posit8", "mx8", "w4a16", "w2a16", "w2x4", "w8a8"), fmt
         return replace(self, storage_fmt=fmt, storage_group=group)
 
     def with_posit_softmax(self, exp: bool = False, exp_shifted: bool = False,

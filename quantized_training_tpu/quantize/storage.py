@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 __all__ = ["build_storage", "STORAGE_FORMATS"]
 
-STORAGE_FORMATS = ("posit8", "mx8", "w4a16", "w2a16", "w8a8")
+STORAGE_FORMATS = ("posit8", "mx8", "w4a16", "w2a16", "w2x4", "w8a8")
 
 
 def _pack_kernel(w: jax.Array, fmt: str, group: int) -> Dict[str, jax.Array]:
@@ -66,6 +66,19 @@ def _pack_kernel(w: jax.Array, fmt: str, group: int) -> Dict[str, jax.Array]:
         nbits = 4 if fmt == "w4a16" else 2
         codes, sf, zp = pack_affine_weights(w, nbits, group)
         return {"codes": codes, "scales": sf, "zero_points": zp}
+    if fmt == "w2x4":
+        # w2 NUMERICS (uint2 group-affine values — same codes as w2a16) in
+        # the w4 word layout: the direct w2 kernel is VPU-issue-bound at
+        # 0.14-0.16 of HBM and absolutely slower than w4, so when the 2x
+        # bytes fit, ship the same values expanded (1.7-2.1x faster on
+        # chip, BENCH_W2X_r05).  zp += 6 folds the mid-2 -> mid-16 shift
+        # so the plain nbits=4 consumer computes identical products.
+        from ..ops.pallas.affine_storage import (
+            expand_w2_words_to_w4, pack_affine_weights,
+        )
+        codes2, sf, zp = pack_affine_weights(w, 2, group)
+        return {"codes": expand_w2_words_to_w4(codes2), "scales": sf,
+                "zero_points": zp + 6.0}
     if fmt == "w8a8":
         from ..ops.int8_matmul import pack_int8_weights
         codes, scale = pack_int8_weights(w)
@@ -78,8 +91,9 @@ def _eligible(path: Tuple[str, ...], leaf: jax.Array, fmt: str,
               group: int) -> bool:
     if path[-1] != "kernel" or leaf.ndim != 2:
         return False
-    if fmt in ("w4a16", "w2a16"):
-        # int32 words must not straddle qparam groups
+    if fmt in ("w4a16", "w2a16", "w2x4"):
+        # int32 words must not straddle qparam groups (w2x4 packs at 2
+        # bits first, so it carries the w2 constraint)
         per = 32 // (4 if fmt == "w4a16" else 2)
         return group % per == 0 and leaf.shape[0] % group == 0
     if fmt == "mx8":
