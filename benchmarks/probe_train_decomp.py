@@ -121,7 +121,7 @@ def probe_grad_only():
 
         def loss_fn(p, ids_i):
             logits = model.apply({"params": p}, ids_i)
-            return causal_lm_loss(logits, ids_i)
+            return causal_lm_loss(logits, {"input_ids": ids_i})
 
         grad_fn = jax.grad(loss_fn)
 

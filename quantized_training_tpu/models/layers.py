@@ -280,8 +280,7 @@ class QDense(nn.Module, QuantMixin):
             # packed offline and removed from params; the storage matmul
             # dequantizes codes in VMEM, bit-equal to the corresponding
             # weight fake-quant.  No kernel param is declared at all.
-            if not self.skip_input_quant:
-                x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
+            x = self._input_site(x, cfg)
             y = self._storage_matmul(x, cfg.storage_fmt, cfg.storage_group)
             if self.use_bias:
                 bias = self.param(
@@ -295,8 +294,7 @@ class QDense(nn.Module, QuantMixin):
             self.param_dtype,
         )
         kernel = kernel.astype(self.dtype)
-        if not self.skip_input_quant:
-            x = self.quant_input(x, "linear", OpCategory.GEMM, 0)
+        x = self._input_site(x, cfg)
         if self.is_mutable_collection("gptq") and not self.is_initializing():
             # GPTQ calibration (quantize/gptq.py): accumulate this layer's
             # input Hessian X^T X of the (post-input-quant) matmul operand.
@@ -337,6 +335,24 @@ class QDense(nn.Module, QuantMixin):
             bias = self._maybe_quant_bias(bias)
             y = y + bias.astype(self.dtype)
         return y
+
+
+    def _input_site(self, x, cfg):
+        """The linear GEMM input site.  skip_input_quant means the caller
+        already applied this site's FORWARD rounding (shared qkv site, or a
+        fused producer epilogue like flash out_qfn) — the value is already
+        rounded, but the backward error tap is this layer's own and must
+        still attach (dropping it with the forward quant silently
+        de-quantized the o_proj input cotangent whenever the flash out-quant
+        engaged)."""
+        if not self.skip_input_quant:
+            return self.quant_input(x, "linear", OpCategory.GEMM, 0)
+        if cfg is not None:
+            err = cfg.error_spec(
+                self._path_str, "linear", OpCategory.GEMM, 0)
+            if err is not None:
+                x = bwd_quantize(x, err)
+        return x
 
     def _storage_matmul(self, x: jax.Array, fmt: str,
                         group: int) -> jax.Array:
