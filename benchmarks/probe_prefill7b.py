@@ -233,11 +233,12 @@ def probe_glue():
         w, = ops
         x, acc = c
         h = rms(x, w)
-        h = rope(h)
+        h = rope(h).astype(x.dtype)     # rope's f32 cos/sin upcasts
         h = x + h
         h2 = rms(h, w)
         h = h + h2
-        return h * 0.5, acc + jnp.sum(jnp.abs(h[..., 0]).astype(jnp.float32))
+        return ((h * 0.5).astype(x.dtype),
+                acc + jnp.sum(jnp.abs(h[..., 0]).astype(jnp.float32)))
 
     dt = timed_chain(step, (w,), (x0, jnp.zeros((1,), jnp.float32)))
     emit({

@@ -191,10 +191,12 @@ def probe_bwd_site():
         x0 = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
 
         # site cost: identity fwd, quantized cotangent in bwd — measured
-        # through an actual grad so the cotangent path is real
+        # through an actual grad with a DATA-DEPENDENT cotangent (a linear
+        # loss makes the cotangent a constant, which XLA folds: the first
+        # version measured 4865 GB/s on an 819 GB/s part)
         def f_site(x):
             y = bwd_quantize(x, spec)
-            return jnp.sum(y.astype(jnp.float32) * 1.0001)
+            return 0.5 * jnp.sum(y.astype(jnp.float32) ** 2)
 
         g_site = jax.grad(f_site)
 
@@ -280,6 +282,19 @@ def main():
     sites = count_error_sites()
     emit({"metric": "traindecomp_error_sites", "value": sum(sites.values()),
           "unit": "count", "by_module": sites})
+
+    only = os.environ.get("QT_TD_ONLY")
+    if only == "site":
+        site = probe_bwd_site()
+        n_inter = sites.get("down_proj", 0)
+        n_hid = sum(sites.values()) - n_inter
+        pred = (n_hid * site[(B * S, HID)][0]
+                + n_inter * site[(B * S, INTER)][0])
+        emit({"metric": "traindecomp_bwd_quant_accounting",
+              "value": round(pred * 1e3, 2), "unit": "ms_predicted",
+              "sites_hid": n_hid, "sites_inter": n_inter})
+        done.set()
+        return
 
     grad = probe_grad_only()
     t_lm = probe_lm_loss()

@@ -94,23 +94,24 @@ def timed_chain(step, operands, state0, n1=8, n2=200, repeats=5):
 def probe_int4_dot():
     """Does XLA lower an int4 x int4 -> int32 dot on this TPU?"""
     try:
-        a = jnp.asarray(np.random.default_rng(0).integers(-7, 8, (128, 256)),
-                        jnp.int4)
-        b = jnp.asarray(np.random.default_rng(1).integers(-7, 8, (256, 128)),
-                        jnp.int4)
+        # int8 host arrays; the s4 cast happens inside the jitted fn
+        # (device-side jnp.asarray(..., int4) tripped a recursive-jit error
+        # on this platform)
+        a8 = jnp.asarray(np.random.default_rng(0).integers(-7, 8, (128, 256)),
+                         jnp.int8)
+        b8 = jnp.asarray(np.random.default_rng(1).integers(-7, 8, (256, 128)),
+                         jnp.int8)
         fn = jax.jit(lambda a, b: jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
+            a.astype(jnp.int4), b.astype(jnp.int4), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32))
-        txt = fn.lower(a, b).compile().as_text()
-        out = np.asarray(fn(a, b))
-        ref = (np.asarray(a, np.int32) @ np.asarray(b, np.int32))
+        txt = fn.lower(a8, b8).compile().as_text()
+        out = np.asarray(fn(a8, b8))
+        ref = (np.asarray(a8, np.int32) @ np.asarray(b8, np.int32))
         ok = bool((out == ref).all())
-        native = "s4[" in txt and "convert" not in txt.split("dot")[0][-200:]
         emit({"metric": "w2x_int4_dot_lowers", "value": int(ok),
               "unit": "bool", "s4_in_hlo": int("s4[" in txt),
-              "note": "correct result; whether the MXU consumes s4 natively "
-                      "or via a widening convert is visible in the HLO",
-              "native_hint": int(native)})
+              "note": "correct result; s4_in_hlo says whether s4 survives "
+                      "into the compiled device HLO or is widened away"})
     except Exception as e:  # noqa: BLE001
         emit({"metric": "w2x_int4_dot_lowers", "value": 0, "unit": "bool",
               "error": str(e).splitlines()[0][:200]})
