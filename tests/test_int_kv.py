@@ -207,3 +207,49 @@ class TestIntKvModel:
 
         lq, lfp = decode_logits(m_q), decode_logits(m_fp)
         assert np.max(np.abs(lq - lfp)) / (np.max(np.abs(lfp)) + 1e-6) < 0.05
+
+
+class TestIntKvEngineAndSpeculative:
+    def test_engine_int_sym_cache_matches_generate(self):
+        """Continuous batching over the int-sym cache: one request through
+        the engine equals generate() on the same model (same quantized
+        cache content per slot)."""
+        from quantized_training_tpu.serving.engine import (
+            ContinuousBatchingEngine,
+        )
+        kcfg = KVCacheConfig.int_sym(max_prefill=8, max_decode=8, bits=8)
+        cfg = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        model = LlamaForCausalLM(cfg, None)
+        rng = np.random.default_rng(11)
+        prompt = rng.integers(0, 256, 8)
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(prompt[None]))
+
+        ref = generate(model, {"params": vars_["params"]},
+                       jnp.asarray(prompt[None]), max_new_tokens=4)
+        expected = np.asarray(ref[0, 8:]).tolist()
+
+        engine = ContinuousBatchingEngine(
+            model, {"params": vars_["params"]}, batch_slots=2)
+        rid = engine.submit(prompt, max_new_tokens=4)
+        results = engine.run()
+        assert results[rid] == expected
+
+    def test_speculative_int_sym_target_token_identical(self):
+        """Greedy speculative decoding with an int-sym-cached target is
+        token-identical to target-only greedy decoding (the two-tier rewind
+        semantics are format-agnostic: verify blocks live in the fp
+        residual ring)."""
+        from quantized_training_tpu.serving.speculative import (
+            speculative_generate,
+        )
+        kcfg = KVCacheConfig.int_sym(max_prefill=16, max_decode=16, bits=4)
+        cfg_t = LlamaConfig.tiny(max_position_embeddings=64, kv_cache=kcfg)
+        cfg_d = LlamaConfig.tiny(max_position_embeddings=64)
+        ids = jnp.asarray(np.random.default_rng(12).integers(0, 256, (1, 8)))
+        m_t = LlamaForCausalLM(cfg_t, None)
+        m_d = LlamaForCausalLM(cfg_d, None)
+        v = m_t.init(jax.random.PRNGKey(0), ids)
+
+        ref = generate(m_t, v, ids, max_new_tokens=6)
+        out = speculative_generate(m_t, v, m_d, v, ids, 6, k=2)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
