@@ -570,7 +570,7 @@ def main():
     # format; see PERF_ANALYSIS).
     if "13bw4" in arms:
         r_134 = run_geometry("13b", "w4a16", batch=4, max_prefill=2048,
-                             max_decode=128, kivi_bits=2,
+                             max_decode=128, kv_fmt="i4",
                              label="llama13b_w4a16")
         emit_speedup("llama13b_w4a16", r_134, bf16_roofline_ms(r_134),
                      "bf16 baseline = HBM roofline bound at 100% bandwidth "
