@@ -462,7 +462,7 @@ def emit_speedup(label, r, bf16_ms, note):
 
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
-    done = start_watchdog(float(os.environ.get("QT_BENCH_WATCHDOG_S", "3000")))
+    done = start_watchdog(float(os.environ.get("QT_BENCH_WATCHDOG_S", "12000")))
     # partial re-runs: QT_BENCH_ARMS is a comma list of w4,bf16,w8a8,13b
     arms = set(os.environ.get(
         "QT_BENCH_ARMS", "w4,w4kv4,bf16,w8a8,13b,13bw4,13bx").split(","))
