@@ -465,7 +465,7 @@ def main():
     done = start_watchdog(float(os.environ.get("QT_BENCH_WATCHDOG_S", "12000")))
     # partial re-runs: QT_BENCH_ARMS is a comma list of w4,bf16,w8a8,13b
     arms = set(os.environ.get(
-        "QT_BENCH_ARMS", "w4,w4kv4,bf16,w8a8,13b,13bw4,13bx").split(","))
+        "QT_BENCH_ARMS", "w4,w4kv4,w4kv8,bf16,w8a8,13b,13bw4,13bx").split(","))
 
     # flagship: 7B w4a16 + packed uint2 KIVI + fused decode + scan decode
     r_w4 = None
@@ -493,6 +493,16 @@ def main():
                 "unit": "x",
                 "u2_ms_per_step": round(r_w4["decode_ms"], 3),
             }), flush=True)
+
+    # w4a16 + int8 per-token-sym cache: the accuracy-first cache config
+    # (0.4% cache error, 0.83-of-HBM kernel) at the same geometry.
+    if "w4kv8" in arms:
+        label8 = "llama7b_w4a16_kv8" + (f"_b{b}" if b != 8 else "")
+        r_kv8 = run_geometry("7b", "w4a16", batch=b, max_prefill=2048,
+                             max_decode=128, kv_fmt="i8", label=label8)
+        emit_speedup(label8, r_kv8, bf16_roofline_ms(r_kv8),
+                     "bf16 baseline = HBM roofline bound at 100% bandwidth "
+                     "with the same (int8) cache bytes")
 
     # bf16-weights baseline at the same geometry (same batch b as the w4
     # arm — a mixed-geometry speedup would be meaningless): 12.6 GiB of
